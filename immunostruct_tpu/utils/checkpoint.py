@@ -1,0 +1,33 @@
+"""Pytree checkpointing.
+
+Replaces ``torch.save(model.state_dict())`` best-val checkpointing
+(reference: procedures/train.py:48-55) with msgpack-serialized pytrees via
+flax.serialization. Stage transitions restore then surgically re-init the
+head (models/trunk.py:reset_head), mirroring load_trained(new_head=True).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def save_checkpoint(path: str, tree: Any) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    host_tree = jax.tree.map(np.asarray, tree)
+    data = serialization.to_bytes(host_tree)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str, like: Any) -> Any:
+    """Restore into the structure of ``like`` (shapes/dtypes must match)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    return serialization.from_bytes(like, data)

@@ -1,0 +1,31 @@
+"""Test configuration: run everything on 8 virtual CPU devices.
+
+This is the fake-backend substitute for multi-chip hardware (SURVEY.md
+section 4): sharding/collective tests get a real 8-device mesh without TPUs,
+and all numerics run deterministic float32 on CPU.
+"""
+
+import os
+
+# Force CPU even when the environment pre-selects a TPU platform
+# (JAX_PLATFORMS=axon under the tunnel); tests must be hermetic and fast.
+# The site customization may import jax before this file runs, so the env
+# var alone is not enough — explicitly update the config too.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu"
+assert len(jax.devices()) == 8, "expected 8 virtual CPU devices for sharding tests"
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
