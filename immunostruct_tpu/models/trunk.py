@@ -195,7 +195,8 @@ def _structure_branch(params: dict, spec: ModelSpec, graph: GraphBatch,
     if spec.node_attention == "self":
         attn_out, attn_w = self_attention_apply(params["node_attn"], h)
     else:
-        attn_out, attn_w = mha_apply(params["node_attn"], h)
+        attn_out, attn_w = mha_apply(params["node_attn"], h,
+                                     n_head=spec.self_attention_heads)
     if spec.mean_max_pool:
         pooled = jnp.concatenate([mean_pool(attn_out), max_pool(attn_out)], axis=-1)
     else:
@@ -270,7 +271,8 @@ def _classify(params: dict, spec: ModelSpec, combined: jax.Array,
         # Treat the fused D-dim vector as a length-D sequence of scalars
         # (hybrid_models.py:344-347): [B, D] -> [B, D, 1] -> MHA -> mean(dim 2).
         c = combined[..., None]
-        c, _ = mha_apply(params["combined_attention"], c)
+        c, _ = mha_apply(params["combined_attention"], c,
+                         n_head=spec.combined_attention_heads)
         combined = jnp.mean(c, axis=2)
 
     cls = params["classifier"]

@@ -53,7 +53,6 @@ def mha_init(key: jax.Array, feature_dim: int, n_head: int,
     input_dim = input_dim or feature_dim
     kq, kk, kv, kc = jax.random.split(key, 4)
     return {
-        "n_head": n_head,
         "w_q": linear_init(kq, input_dim, feature_dim, dtype=dtype),
         "w_k": linear_init(kk, input_dim, feature_dim, dtype=dtype),
         "w_v": linear_init(kv, input_dim, feature_dim, dtype=dtype),
@@ -61,14 +60,14 @@ def mha_init(key: jax.Array, feature_dim: int, n_head: int,
     }
 
 
-def mha_apply(params: dict, x: jax.Array,
+def mha_apply(params: dict, x: jax.Array, n_head: int = 1,
               mask: Optional[jax.Array] = None) -> Tuple[jax.Array, jax.Array]:
     """x: [B, L, input_dim] -> (output [B, L, feature_dim], weights [B, H, L, L]).
 
-    Masked positions are filled with -10000 before softmax, matching
-    layers.py:39-40.
+    ``n_head`` is static (not stored in the param pytree, so it never becomes
+    a tracer under jit). Masked positions are filled with -10000 before
+    softmax, matching layers.py:39-40.
     """
-    n_head = params["n_head"]
     q = linear_apply(params["w_q"], x)
     k = linear_apply(params["w_k"], x)
     v = linear_apply(params["w_v"], x)

@@ -137,7 +137,7 @@ class TestAttention:
         b, l, d = 2, 5, 8
         x = rng.standard_normal((b, l, d)).astype(np.float32)
         params = mha_init(jax.random.key(1), d, 1)
-        out, w = mha_apply(params, jnp.asarray(x))
+        out, w = mha_apply(params, jnp.asarray(x), n_head=1)
         p = _np_params(params)
         q = x @ p["w_q"]["w"] + p["w_q"]["b"]
         k = x @ p["w_k"]["w"] + p["w_k"]["b"]
@@ -153,7 +153,7 @@ class TestAttention:
         b, d_vec = 3, 104
         x = jnp.ones((b, d_vec, 1))
         params = mha_init(jax.random.key(2), 16, 8, input_dim=1)
-        out, _ = mha_apply(params, x)
+        out, _ = mha_apply(params, x, n_head=8)
         assert out.shape == (b, d_vec, 16)
 
     def test_mha_mask(self, rng):
@@ -161,7 +161,7 @@ class TestAttention:
         x = rng.standard_normal((b, l, d)).astype(np.float32)
         params = mha_init(jax.random.key(3), d, 2)
         mask = jnp.ones((b, 1, l, l)).at[..., -1].set(0)
-        _, w = mha_apply(params, jnp.asarray(x), mask=mask)
+        _, w = mha_apply(params, jnp.asarray(x), n_head=2, mask=mask)
         assert np.asarray(w)[..., -1].max() < 1e-3
 
 
