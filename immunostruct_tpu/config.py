@@ -49,6 +49,7 @@ class Config:
     coord_size: int = 3
     sequence_pad_count: int = 0      # train-time sequence masking count
     structure_pad_count: int = 0     # train-time structure masking count
+    force_graph_augmentation: bool = False  # rotation for non-SSL training too
     num_workers: int = 0             # kept for CLI parity; host pipeline is vectorized
 
     # paths (``$ROOT`` expands to the repo root)

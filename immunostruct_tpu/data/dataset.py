@@ -1,0 +1,299 @@
+"""Datasets: the joined (sequence, graph, property, label) corpora.
+
+Mirrors the reference dataset classes
+(reference: data/immmunopred_dataloader.py:17-285, data/infer_dataloader.py:13-244)
+but produces dense numpy arrays ready for device streaming instead of
+per-item torch tensors + DGL graph objects:
+
+- unique graphs are stacked once ([G, N, ...]) and rows carry a graph index,
+  so shared structures are not duplicated;
+- foreignness is min-max normalized to [-1, 1]
+  (immmunopred_dataloader.py:67-70);
+- comparative WT rows get label 0 and foreignness = corpus min
+  (immmunopred_dataloader.py:182-183);
+- clinical rows without a matching graph become NaN features + placeholder
+  graph, props [0.4, 0.4], labels -1 (infer_dataloader.py:216-233).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import Counter
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+from immunostruct_tpu.data.encoding import one_hot_encode_batch
+from immunostruct_tpu.data.graphs import GraphCorpus, load_graph_dir
+from immunostruct_tpu.data.tables import (
+    parse_property_table, parse_property_tables_cancer_wt, expand_hla,
+)
+
+
+def seeded_split(n: int, fractions: tuple, seed: int):
+    """Replicate ``torch.utils.data.random_split(dataset, fractions, g)``.
+
+    Uses torch's randperm under the same manual seed so the train/val/test
+    folds are bitwise-identical to the reference run
+    (train_IEDB_wFT.py:56, :69) — required for AUROC parity on the same
+    splits. Falls back to numpy if torch is unavailable.
+    """
+    lengths = [int(np.floor(n * f)) for f in fractions]
+    remainder = n - sum(lengths)
+    for i in range(remainder):  # round-robin remainder, like torch
+        lengths[i % len(lengths)] += 1
+    try:
+        import torch
+        g = torch.Generator().manual_seed(seed)
+        perm = torch.randperm(n, generator=g).tolist()
+    except ImportError:
+        perm = np.random.default_rng(seed).permutation(n).tolist()
+    out, offset = [], 0
+    for ln in lengths:
+        out.append(np.asarray(perm[offset:offset + ln], np.int64))
+        offset += ln
+    return out
+
+
+@dataclasses.dataclass
+class GraphArrays:
+    """Stacked unique graphs (see GraphCorpus.stack for shapes)."""
+    node_onehot: np.ndarray
+    coords: np.ndarray
+    edge_src: np.ndarray
+    edge_dst: np.ndarray
+    edge_mask: np.ndarray
+    node_mask: np.ndarray
+    num_nodes: np.ndarray
+
+    @property
+    def max_nodes(self) -> int:
+        return self.node_onehot.shape[1]
+
+    @property
+    def max_edges(self) -> int:
+        return self.edge_src.shape[1]
+
+
+def _stack_corpus(corpus: GraphCorpus, nodes_multiple=8, edges_multiple=128,
+                  max_nodes=None, max_edges=None) -> GraphArrays:
+    return GraphArrays(**corpus.stack(max_nodes=max_nodes, max_edges=max_edges,
+                                      nodes_multiple=nodes_multiple,
+                                      edges_multiple=edges_multiple))
+
+
+def _normalize_foreignness(f: np.ndarray):
+    lo, hi = float(np.min(f)), float(np.max(f))
+    norm = 2.0 * (f - (hi + lo) / 2.0) / (hi - lo) if hi > lo else np.zeros_like(f)
+    return norm.astype(np.float32), lo, hi
+
+
+@dataclasses.dataclass
+class ImmunoDataset:
+    """Single-modality dataset (ImmunoPredDataset parity).
+
+    Arrays (M rows):
+      seq_full [M, Lf, 21], seq_pep [M, Lp, 21], props [M, 2] (Mprop1/2),
+      immuno [M], foreign_norm [M] in [-1, 1], graph_idx [M] -> graphs.
+    """
+
+    seq_full: np.ndarray
+    seq_pep: np.ndarray
+    props: np.ndarray
+    immuno: np.ndarray
+    foreign_norm: np.ndarray
+    graph_idx: np.ndarray
+    graphs: GraphArrays
+    class_weights: Counter
+    foreign_min: float
+    foreign_max: float
+    raw_chain: list[str]            # full peptide-HLA chains, for prediction dumps
+    pep_len: np.ndarray             # real peptide length per row (for seq masking)
+
+    def __len__(self):
+        return len(self.immuno)
+
+    def denormalize(self, output: np.ndarray) -> np.ndarray:
+        """Inverse of the [-1, 1] normalization (immmunopred_dataloader.py:72-73)."""
+        return output / 2.0 * (self.foreign_max - self.foreign_min) + \
+            (self.foreign_max + self.foreign_min) / 2.0
+
+    @classmethod
+    def load(cls, config, graph_directory: str, property_path: str, hla_path: str,
+             corpus: Optional[GraphCorpus] = None) -> "ImmunoDataset":
+        cancer = "Cancer" in graph_directory
+        corpus = corpus if corpus is not None else load_graph_dir(graph_directory)
+        f_dict, fp2_dict, imm_dict, pep_pairs = parse_property_table(property_path, cancer)
+        name_mapper = expand_hla(pep_pairs, hla_path)
+        return cls.from_joined(config, corpus, name_mapper, f_dict, fp2_dict, imm_dict)
+
+    @classmethod
+    def from_joined(cls, config, corpus: GraphCorpus, name_mapper: dict,
+                    f_dict: dict, fp2_dict: dict, imm_dict: dict) -> "ImmunoDataset":
+        # two-sided join (preprocess.py:147-173)
+        corpus_index = corpus.index()
+        rows = [(pair, v) for pair, v in name_mapper.items() if v[1] in corpus_index]
+        used_keys = sorted({v[1] for _, v in rows}, key=lambda k: corpus_index[k])
+        key_to_new = {k: i for i, k in enumerate(used_keys)}
+        sub = corpus.subset([corpus_index[k] for k in used_keys])
+
+        chains = [v[0] for _, v in rows]
+        peps = [v[2] for _, v in rows]
+        max_full = max(len(c) for c in chains)
+        max_pep = max(len(p) for p in peps)
+
+        immuno = np.asarray([imm_dict[pair] for pair, _ in rows], np.float32)
+        foreign = np.asarray([f_dict[pair] for pair, _ in rows], np.float32)
+        props = np.asarray([fp2_dict[pair] for pair, _ in rows], np.float32)
+        graph_idx = np.asarray([key_to_new[v[1]] for _, v in rows], np.int32)
+
+        foreign_norm, lo, hi = _normalize_foreignness(foreign)
+        graphs = _stack_corpus(sub, nodes_multiple=config.pad_nodes_multiple,
+                               edges_multiple=config.pad_edges_multiple)
+        return cls(
+            seq_full=one_hot_encode_batch(chains, max_full),
+            seq_pep=one_hot_encode_batch(peps, max_pep),
+            props=props, immuno=immuno, foreign_norm=foreign_norm,
+            graph_idx=graph_idx, graphs=graphs,
+            class_weights=Counter(immuno.tolist()),
+            foreign_min=lo, foreign_max=hi,
+            raw_chain=chains,
+            pep_len=np.asarray([len(p) for p in peps], np.int32),
+        )
+
+
+@dataclasses.dataclass
+class ComparativeDataset:
+    """Paired cancer/WT dataset (ImmunoPredDatasetComparative parity)."""
+
+    cancer: ImmunoDataset
+    wt: ImmunoDataset
+
+    def __len__(self):
+        return len(self.cancer)
+
+    @property
+    def class_weights(self) -> Counter:
+        return self.cancer.class_weights
+
+    @classmethod
+    def load(cls, config, graph_directory_cancer: str, graph_directory_wt: str,
+             property_path_cancer: str, property_path_wt: str, hla_path: str,
+             corpus_cancer: Optional[GraphCorpus] = None,
+             corpus_wt: Optional[GraphCorpus] = None) -> "ComparativeDataset":
+        corpus_c = corpus_cancer if corpus_cancer is not None else load_graph_dir(graph_directory_cancer)
+        corpus_w = corpus_wt if corpus_wt is not None else load_graph_dir(graph_directory_wt)
+        combined = parse_property_tables_cancer_wt(property_path_cancer, property_path_wt)
+        mapper_c = expand_hla(combined["pep_pair_cancer"], hla_path)
+        mapper_w = expand_hla(combined["pep_pair_wt"], hla_path)
+
+        # keep rows whose cancer AND wt graphs both exist (preprocess.py:188-266)
+        keys_c, keys_w = set(corpus_c.index()), set(corpus_w.index())
+        ok = combined.apply(
+            lambda r: mapper_c[r["pep_pair_cancer"]][1] in keys_c
+            and mapper_w[r["pep_pair_wt"]][1] in keys_w, axis=1)
+        combined = combined[ok].reset_index(drop=True)
+        if len(combined) == 0:
+            raise ValueError("no cancer/WT rows survived the graph join")
+
+        f_c = dict(zip(combined["pep_pair_cancer"], combined["smoothed_foreign"]))
+        fp2_c = dict(zip(combined["pep_pair_cancer"],
+                         zip(combined["Mprop1"], combined["Mprop2"])))
+        imm_c = dict(zip(combined["pep_pair_cancer"], combined["immunogenicity"]))
+        mapper_c = {k: v for k, v in mapper_c.items() if k in f_c}
+        cancer_ds = ImmunoDataset.from_joined(config, corpus_c, mapper_c, f_c, fp2_c, imm_c)
+
+        # WT rows: label forced 0, foreignness = corpus minimum
+        # (immmunopred_dataloader.py:182-183)
+        wt_min = float(combined["smoothed_foreign"].min())
+        f_w = {k: wt_min for k in combined["pep_pair_wt"]}
+        fp2_w = dict(zip(combined["pep_pair_wt"],
+                         zip(combined["Mprop1_wt"], combined["Mprop2_wt"])))
+        imm_w = {k: 0.0 for k in combined["pep_pair_wt"]}
+        mapper_w = {k: v for k, v in mapper_w.items() if k in f_w}
+        wt_ds = ImmunoDataset.from_joined(config, corpus_w, mapper_w, f_w, fp2_w, imm_w)
+
+        if len(cancer_ds) != len(wt_ds):
+            raise ValueError(f"cancer/WT row mismatch: {len(cancer_ds)} vs {len(wt_ds)}")
+        # training reads the label/foreignness from the cancer side
+        # (immmunopred_dataloader.py:279-285 returns cancer immuno/foreignness)
+        return cls(cancer=cancer_ds, wt=wt_ds)
+
+
+@dataclasses.dataclass
+class ClinicalDataset:
+    """Clinical scoring rows aligned 1:1 with the clinical sequence table.
+
+    Rows without a matching graph keep NaN features so their predictions are
+    NaN-ed out and excluded from the per-patient load
+    (infer_dataloader.py:220-224; clinical_validation.py:196-197).
+    """
+
+    seq_full: np.ndarray
+    seq_pep: np.ndarray
+    props: np.ndarray
+    graph_idx: np.ndarray
+    graphs: GraphArrays
+    valid: np.ndarray              # bool per row: had a real graph match
+    patients: list[str]
+
+    def __len__(self):
+        return len(self.graph_idx)
+
+    @classmethod
+    def load(cls, config, graph_directory: str, seq_path: str,
+             corpus: Optional[GraphCorpus] = None) -> "ClinicalDataset":
+        corpus = corpus if corpus is not None else load_graph_dir(graph_directory)
+        seq_df = pd.read_table(seq_path)
+
+        # build name mapper from the clinical table itself
+        # (preprocess.py:302-313: combo column keys, hla_seq + mut_pep chains)
+        name_mapper = {}
+        for _, row in seq_df.iterrows():
+            chain = str(row["hla_seq"]) + str(row["mut_pep"])
+            from immunostruct_tpu.data.tables import get_hash
+            name_mapper[str(row["combo"])] = (
+                chain, chain[-99:] + "_" + get_hash(chain)[:5], str(row["mut_pep"]))
+
+        corpus_index = corpus.index()
+        valid_rows = {combo: v for combo, v in name_mapper.items()
+                      if v[1] in corpus_index}
+        if not valid_rows:
+            raise ValueError("no clinical rows matched a graph")
+
+        used_keys = sorted({v[1] for v in valid_rows.values()},
+                           key=lambda k: corpus_index[k])
+        key_to_new = {k: i for i, k in enumerate(used_keys)}
+        sub = corpus.subset([corpus_index[k] for k in used_keys])
+        graphs = _stack_corpus(sub, nodes_multiple=config.pad_nodes_multiple,
+                               edges_multiple=config.pad_edges_multiple)
+
+        chains = [v[0] for v in valid_rows.values()]
+        peps = [v[2] for v in valid_rows.values()]
+        max_full = max(len(c) for c in chains)
+        max_pep = max(len(p) for p in peps)
+        placeholder_key = next(iter(valid_rows.values()))[1]
+
+        m = len(seq_df)
+        seq_full = np.full((m, max_full, 21), np.nan, np.float32)
+        seq_pep = np.full((m, max_pep, 21), np.nan, np.float32)
+        props = np.full((m, 2), np.nan, np.float32)
+        graph_idx = np.zeros((m,), np.int32)
+        valid = np.zeros((m,), bool)
+
+        for i, (_, row) in enumerate(seq_df.iterrows()):
+            combo = str(row["combo"])
+            if combo in valid_rows:
+                chain, key, pep = valid_rows[combo]
+                seq_full[i] = one_hot_encode_batch([chain], max_full)[0]
+                seq_pep[i] = one_hot_encode_batch([pep], max_pep)[0]
+                props[i] = [0.4, 0.4]  # placeholder props (infer_dataloader.py:216-217)
+                graph_idx[i] = key_to_new[key]
+                valid[i] = True
+            else:
+                graph_idx[i] = key_to_new[placeholder_key]
+
+        return cls(seq_full=seq_full, seq_pep=seq_pep, props=props,
+                   graph_idx=graph_idx, graphs=graphs, valid=valid,
+                   patients=[str(p) for p in seq_df["patient"].tolist()])
