@@ -1,0 +1,45 @@
+"""Shared CLI plumbing: argparse surface mirroring the reference entry
+scripts (train_IEDB_wFT.py:16-36, train_Cancer_wFT.py:15-45)."""
+
+from __future__ import annotations
+
+import argparse
+
+from immunostruct_tpu.config import Config, update_paths
+
+
+def base_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--model", default="StructureModel", type=str)
+    p.add_argument("--learning-rate-pretrain", default=1e-3, type=float)
+    p.add_argument("--learning-rate-finetune", default=1e-4, type=float)
+    p.add_argument("--num-epochs", default=40, type=int)
+    p.add_argument("--batch-size", default=150, type=int)
+    p.add_argument("--num-workers", default=4, type=int)
+    p.add_argument("--full-sequence", action="store_true")
+    p.add_argument("--sequence-loss", action="store_true")
+    p.add_argument("--feature-size", default=23, type=int)
+    p.add_argument("--coord-size", default=3, type=int)
+    p.add_argument("--model-save-dir", default="$ROOT/results/run/", type=str)
+    p.add_argument("--hla-path", default="$ROOT/data/HLA_27_seqs_csv.csv", type=str)
+    p.add_argument("--seed", default=1, type=int)
+    p.add_argument("--wandb-username", default=None, type=str)
+    p.add_argument("--sequence-pad-count", default=0, type=int)
+    p.add_argument("--structure-pad-count", default=0, type=int)
+    p.add_argument("--self-supervision", action="store_true")
+    # TPU-native knobs (new)
+    p.add_argument("--compute-dtype", default="bfloat16", type=str)
+    p.add_argument("--aggregation", default="auto",
+                   choices=["auto", "onehot", "scatter"])
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard batches over all local devices")
+    return p
+
+
+def to_config(args: argparse.Namespace, **extra) -> Config:
+    known = {f.name for f in Config.__dataclass_fields__.values()}
+    kv = {k: v for k, v in vars(args).items() if k in known}
+    kv.update(extra)
+    cfg = Config(**kv)
+    update_paths(cfg)
+    return cfg

@@ -225,18 +225,33 @@ class ComparativeDataset:
 class ClinicalDataset:
     """Clinical scoring rows aligned 1:1 with the clinical sequence table.
 
-    Rows without a matching graph keep NaN features so their predictions are
-    NaN-ed out and excluded from the per-patient load
-    (infer_dataloader.py:220-224; clinical_validation.py:196-197).
+    In the reference, rows without a matching graph carry NaN features so
+    their predictions come out NaN and are excluded from the per-patient load
+    (infer_dataloader.py:220-224; clinical_validation.py:196-197). Here the
+    stored features are zero-filled (NaNs would poison the jitted forward)
+    and the ``valid`` mask drives the same exclusion after the forward pass;
+    ``props`` keeps its NaNs for reference-parity inspection.
+
+    Exposes the BatchPipeline field surface (immuno/foreign_norm are -1
+    placeholders, infer_dataloader.py:233).
     """
 
     seq_full: np.ndarray
     seq_pep: np.ndarray
-    props: np.ndarray
+    props: np.ndarray              # NaN on invalid rows (parity)
+    props_filled: np.ndarray       # zero-filled copy used by the pipeline
     graph_idx: np.ndarray
     graphs: GraphArrays
     valid: np.ndarray              # bool per row: had a real graph match
     patients: list[str]
+    immuno: np.ndarray = dataclasses.field(default=None)
+    foreign_norm: np.ndarray = dataclasses.field(default=None)
+
+    def __post_init__(self):
+        if self.immuno is None:
+            self.immuno = np.full((len(self.graph_idx),), -1.0, np.float32)
+        if self.foreign_norm is None:
+            self.foreign_norm = np.full((len(self.graph_idx),), -1.0, np.float32)
 
     def __len__(self):
         return len(self.graph_idx)
@@ -276,8 +291,8 @@ class ClinicalDataset:
         placeholder_key = next(iter(valid_rows.values()))[1]
 
         m = len(seq_df)
-        seq_full = np.full((m, max_full, 21), np.nan, np.float32)
-        seq_pep = np.full((m, max_pep, 21), np.nan, np.float32)
+        seq_full = np.zeros((m, max_full, 21), np.float32)
+        seq_pep = np.zeros((m, max_pep, 21), np.float32)
         props = np.full((m, 2), np.nan, np.float32)
         graph_idx = np.zeros((m,), np.int32)
         valid = np.zeros((m,), bool)
@@ -294,6 +309,8 @@ class ClinicalDataset:
             else:
                 graph_idx[i] = key_to_new[placeholder_key]
 
+        props_filled = np.where(np.isnan(props), 0.0, props).astype(np.float32)
         return cls(seq_full=seq_full, seq_pep=seq_pep, props=props,
+                   props_filled=props_filled,
                    graph_idx=graph_idx, graphs=graphs, valid=valid,
                    patients=[str(p) for p in seq_df["patient"].tolist()])

@@ -180,8 +180,10 @@ class BatchPipeline:
                 aux = jnp.full((len(rows),), -1, jnp.int32)
             else:
                 aux = jnp.asarray(classes)
+        # clinical datasets expose a zero-filled copy of their NaN-marked props
+        props = getattr(self.ds, "props_filled", self.ds.props)
         return SampleBatch(graph=graph, seq_onehot=jnp.asarray(seq),
-                           props=jnp.asarray(self.ds.props[rows]),
+                           props=jnp.asarray(props[rows]),
                            target=jnp.asarray(target), aux_residue=aux)
 
     def epoch(self, epoch_idx: Optional[int] = None) -> Iterator[SampleBatch]:

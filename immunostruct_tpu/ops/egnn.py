@@ -137,7 +137,12 @@ def egnn_apply(
 
     x_diff = x_src - x_dst                                     # [B, E, 3]
     radial = jnp.sum(x_diff * x_diff, axis=-1, keepdims=True)  # [B, E, 1]
-    x_hat = x_diff / (jnp.sqrt(radial) + 1e-30)
+    # guard radial=0 (padded edges point 0->0; self-loops): sqrt has an
+    # infinite derivative at 0, which would turn masked-out messages into
+    # NaN gradients. The where keeps both forward (x_diff=0 -> x_hat=0) and
+    # backward finite without changing real-edge values.
+    radial_safe = jnp.where(radial > 0, radial, 1.0)
+    x_hat = x_diff / (jnp.sqrt(radial_safe) + 1e-30)
 
     f = jnp.concatenate([h_src, h_dst, radial.astype(h.dtype),
                          edge_feat.astype(h.dtype)], axis=-1)

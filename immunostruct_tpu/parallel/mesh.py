@@ -1,0 +1,53 @@
+"""Device mesh setup and sharding helpers.
+
+The reference is single-GPU (SURVEY.md section 2.3: no distributed anything;
+device selection at train_IEDB_wFT.py:54). Parallelism here is designed
+TPU-first: a named 1-D ``data`` mesh over all local devices (ICI within a
+slice), with batches sharded on the leading axis and parameters replicated.
+Under ``jax.jit`` XLA then inserts the gradient all-reduce over ICI — the
+TPU-native equivalent of NCCL DDP. Multi-host extends the same mesh via
+``jax.distributed.initialize`` (DCN across slices) without code changes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(axis_name: str = "data", devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard the leading (batch) axis; other axes replicated."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
+    """Place every array in a batch pytree with its leading axis sharded.
+
+    Requires the global batch size to be divisible by the mesh size; the
+    pipelines guarantee this when batch_size % n_devices == 0 (pad or drop
+    the remainder otherwise).
+    """
+    sharding = batch_sharding(mesh, axis_name)
+
+    def _place(x):
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(_place, batch)
+
+
+def replicate_tree(tree, mesh: Mesh):
+    """Replicate parameters/optimizer state across the mesh."""
+    sharding = replicated_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

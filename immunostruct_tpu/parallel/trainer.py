@@ -1,0 +1,97 @@
+"""Data-parallel training over a named mesh.
+
+Two equivalent formulations are provided:
+
+1. ``make_sharded_trainer`` — the idiomatic path: a normal ``Trainer`` whose
+   batches are placed with a batch-axis NamedSharding and whose state is
+   replicated; ``jax.jit`` partitions the program and inserts the gradient
+   all-reduce (GSPMD). Zero changes to the step function.
+
+2. ``shard_map_train_step`` — the explicit-SPMD path: per-shard loss/grad
+   with a hand-written ``pmean`` over the data axis, for cases where manual
+   control of collective placement matters (and as an executable spec of
+   what GSPMD does). Loss semantics note: a pmean of per-shard mean losses
+   equals the global batch mean only when shards are equally sized, which
+   the shard_batch contract guarantees.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import optax
+from jax.sharding import Mesh
+from jax.experimental.shard_map import shard_map
+from jax.sharding import PartitionSpec as P
+
+from immunostruct_tpu.parallel.mesh import (
+    make_mesh, shard_batch, replicate_tree,
+)
+from immunostruct_tpu.procedures.train import Trainer, TrainState
+from immunostruct_tpu.utils.losses import LossConfig
+
+
+def make_sharded_trainer(spec, loss_cfg: LossConfig, *, binary: bool,
+                         optimizer: optax.GradientTransformation,
+                         mesh: Optional[Mesh] = None, axis_name: str = "data",
+                         **trainer_kwargs) -> Trainer:
+    """Trainer whose batches are sharded over the mesh's data axis."""
+    mesh = mesh if mesh is not None else make_mesh(axis_name)
+
+    trainer = Trainer(spec, loss_cfg, binary=binary, optimizer=optimizer,
+                      mesh=mesh,
+                      shard_batch=partial(shard_batch, mesh=mesh, axis_name=axis_name),
+                      **trainer_kwargs)
+
+    init_state_plain = trainer.init_state
+
+    def init_state(params, rng=None) -> TrainState:
+        state = init_state_plain(params, rng)
+        return replicate_tree(state, mesh)
+
+    trainer.init_state = init_state
+    return trainer
+
+
+def shard_map_train_step(trainer: Trainer, mesh: Mesh, axis_name: str = "data"):
+    """Explicit-SPMD train step: per-shard grads + pmean over the data axis.
+
+    Returns a jitted (state, batch, rng) -> (state, loss) function. The batch
+    must be sharded with ``shard_batch`` (equal shard sizes).
+    """
+
+    def per_shard(state: TrainState, batch, rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+        # decorrelate dropout/reparam noise across shards
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+        loss, grads = jax.value_and_grad(trainer._batch_loss)(
+            state.params, batch, rng, False)
+        grads = jax.lax.pmean(grads, axis_name)
+        loss = jax.lax.pmean(loss, axis_name)
+        updates, opt_state = trainer.optimizer.update(grads, state.opt_state,
+                                                      state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params=params, opt_state=opt_state,
+                          step=state.step + 1), loss
+
+    replicated = P()
+    batch_spec = P(axis_name)
+
+    def specs_like(tree, spec):
+        return jax.tree.map(lambda _: spec, tree,
+                            is_leaf=lambda x: x is None)
+
+    def step(state, batch, rng):
+        fn = shard_map(
+            per_shard, mesh=mesh,
+            in_specs=(specs_like(state, replicated),
+                      specs_like(batch, batch_spec),
+                      replicated),
+            out_specs=(specs_like(state, replicated), replicated),
+            check_rep=False,
+        )
+        return fn(state, batch, rng)
+
+    return jax.jit(step)

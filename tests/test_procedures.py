@@ -1,0 +1,204 @@
+"""End-to-end procedure tests: two-stage training, comparative + contrastive,
+SSL, checkpoint/head-reset transitions, inference metrics, clinical scoring.
+
+These mirror the reference entry-script flows on a tiny synthetic corpus
+(BASELINE.json config 1: CPU-runnable sequence+property slice, then the full
+multimodal path).
+"""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from immunostruct_tpu.config import Config
+from immunostruct_tpu.data import (
+    ImmunoDataset, ComparativeDataset, ClinicalDataset, seeded_split,
+    BatchPipeline, ComparativePipeline,
+    synthetic_corpus, synthetic_comparative_corpus, synthetic_clinical_corpus,
+)
+from immunostruct_tpu.models import build_model, reset_head
+from immunostruct_tpu.procedures.train import train_model, Trainer, make_optimizer
+from immunostruct_tpu.procedures.infer import inference, inference_clinical_only
+from immunostruct_tpu.utils.losses import LossConfig, pos_weight_from_counts
+from immunostruct_tpu.utils.checkpoint import save_checkpoint, load_checkpoint
+from immunostruct_tpu.utils.schedule import linear_warmup_cosine_annealing
+
+
+def tiny_config(tmp_path, **kw):
+    defaults = dict(batch_size=8, num_epochs=2, pad_nodes_multiple=4,
+                    pad_edges_multiple=16, compute_dtype="float32",
+                    aggregation="scatter",
+                    model_save_dir=str(tmp_path / "ckpt"),
+                    figure_save_dir=str(tmp_path / "figs"))
+    defaults.update(kw)
+    cfg = Config(**defaults)
+    cfg.derive_paths()
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    return synthetic_corpus(str(root), num_samples=24, seed=11)
+
+
+def _vae_dim(ds, full):
+    return (ds.seq_full.shape[1] if full else ds.seq_pep.shape[1]) * 21
+
+
+class TestTwoStageTraining:
+    def test_pretrain_then_finetune_seqfp(self, corpus, tmp_path):
+        """CPU-runnable slice: SequenceFpModel, foreignness -> BCE stages."""
+        gd, pp, hp = corpus
+        cfg = tiny_config(tmp_path, model="SequenceFpModel", sequence_loss=True,
+                          full_sequence=False)
+        ds = ImmunoDataset.load(cfg, gd, pp, hp)
+        tr, va, te = seeded_split(len(ds), (0.8, 0.1, 0.1), cfg.seed)
+        vae_dim = _vae_dim(ds, cfg.full_sequence)
+        spec, params = build_model(cfg.model, vae_dim, jax.random.key(cfg.seed))
+        loss_cfg = LossConfig(vae_dim, pos_weight_from_counts(ds.class_weights),
+                              sequence=cfg.sequence_loss)
+
+        def pipes(binary):
+            mk = lambda idx, split: BatchPipeline(
+                ds, idx, split=split, binary=binary, full=cfg.full_sequence, config=cfg)
+            return mk(tr, "train"), mk(va, "val"), mk(te, "test")
+
+        train_pipe, val_pipe, _ = pipes(binary=False)
+        params, hist = train_model(cfg, spec, params, train_pipe, val_pipe,
+                                   loss_cfg, binary=False,
+                                   learning_rate=cfg.learning_rate_pretrain,
+                                   stage="pretrain", verbose=False)
+        assert len(hist["train_loss"]) == cfg.num_epochs
+        assert np.isfinite(hist["train_loss"]).all()
+        assert os.path.exists(cfg.model_save_path_pretrain)
+
+        # stage transition: restore best + re-init head (train_IEDB_wFT.py:95)
+        params = load_checkpoint(cfg.model_save_path_pretrain, params)
+        params = reset_head(params, spec, jax.random.key(99))
+
+        train_pipe, val_pipe, test_pipe = pipes(binary=True)
+        params, hist2 = train_model(cfg, spec, params, train_pipe, val_pipe,
+                                    loss_cfg, binary=True,
+                                    learning_rate=cfg.learning_rate_finetune,
+                                    weight_decay=1e-6, stage="finetune", verbose=False)
+        assert os.path.exists(cfg.model_save_path_finetune)
+
+        # threshold transfer: train-split threshold reused on test
+        train_stats = inference(cfg, spec, params, train_pipe, verbose=False)
+        test_stats = inference(cfg, spec, params, test_pipe,
+                               optimal_threshold=train_stats["optimal_threshold"],
+                               verbose=False)
+        assert 0 <= test_stats["roc_auc"] <= 1
+        assert test_stats["optimal_threshold"] == train_stats["optimal_threshold"]
+
+    def test_hybrid_model_trains(self, corpus, tmp_path):
+        gd, pp, hp = corpus
+        cfg = tiny_config(tmp_path, model="HybridModelv2", sequence_loss=True,
+                          full_sequence=True, num_epochs=1)
+        ds = ImmunoDataset.load(cfg, gd, pp, hp)
+        tr, va, _ = seeded_split(len(ds), (0.8, 0.1, 0.1), cfg.seed)
+        vae_dim = _vae_dim(ds, True)
+        spec, params = build_model(cfg.model, vae_dim, jax.random.key(0))
+        loss_cfg = LossConfig(vae_dim, pos_weight_from_counts(ds.class_weights),
+                              sequence=True)
+        train_pipe = BatchPipeline(ds, tr, split="train", binary=False, full=True, config=cfg)
+        val_pipe = BatchPipeline(ds, va, split="val", binary=False, full=True, config=cfg)
+        params, hist = train_model(cfg, spec, params, train_pipe, val_pipe,
+                                   loss_cfg, binary=False, learning_rate=1e-3,
+                                   verbose=False)
+        assert np.isfinite(hist["train_loss"]).all()
+
+    def test_ssl_training(self, corpus, tmp_path):
+        gd, pp, hp = corpus
+        cfg = tiny_config(tmp_path, model="HybridModelv2_SSL", sequence_loss=True,
+                          full_sequence=True, num_epochs=1, self_supervision=True)
+        ds = ImmunoDataset.load(cfg, gd, pp, hp)
+        tr, va, _ = seeded_split(len(ds), (0.8, 0.1, 0.1), cfg.seed)
+        vae_dim = _vae_dim(ds, True)
+        spec, params = build_model(cfg.model, vae_dim, jax.random.key(0))
+        loss_cfg = LossConfig(vae_dim, pos_weight_from_counts(ds.class_weights),
+                              sequence=True, ssl=True)
+        train_pipe = BatchPipeline(ds, tr, split="train", binary=False, full=True,
+                                   config=cfg, ssl=True)
+        val_pipe = BatchPipeline(ds, va, split="val", binary=False, full=True,
+                                 config=cfg, ssl=True)
+        params, hist = train_model(cfg, spec, params, train_pipe, val_pipe,
+                                   loss_cfg, binary=False, learning_rate=1e-3,
+                                   verbose=False)
+        assert np.isfinite(hist["train_loss"]).all()
+
+
+class TestComparative:
+    def test_comparative_with_contrastive(self, tmp_path):
+        dc, dw, pc, pw, hp = synthetic_comparative_corpus(str(tmp_path), num_samples=16, seed=13)
+        cfg = tiny_config(tmp_path, model="HybridModelv2_Comparative",
+                          sequence_loss=True, full_sequence=True, num_epochs=1,
+                          coeff_contrastive=0.1, use_wt_for_downstream=True)
+        ds = ComparativeDataset.load(cfg, dc, dw, pc, pw, hp)
+        tr, va, _ = seeded_split(len(ds), (0.8, 0.1, 0.1), cfg.seed)
+        vae_dim = ds.cancer.seq_full.shape[1] * 21
+        spec, params = build_model(cfg.model, vae_dim, jax.random.key(0),
+                                   use_wt_for_downstream=True)
+        loss_cfg = LossConfig(vae_dim, pos_weight_from_counts(ds.class_weights),
+                              sequence=True)
+        train_pipe = ComparativePipeline(ds, tr, split="train", binary=True,
+                                         full=True, config=cfg)
+        val_pipe = ComparativePipeline(ds, va, split="val", binary=True,
+                                       full=True, config=cfg)
+        params, hist = train_model(cfg, spec, params, train_pipe, val_pipe,
+                                   loss_cfg, binary=True, learning_rate=1e-3,
+                                   optimizer_name="adamw", weight_decay=1e-6,
+                                   coeff_contrastive=cfg.coeff_contrastive,
+                                   lr_schedule=linear_warmup_cosine_annealing(
+                                       1e-4, 1, cfg.num_epochs, 1e-6),
+                                   verbose=False)
+        assert np.isfinite(hist["train_loss"]).all()
+        assert "contrastive_projector" in params
+
+        stats = inference(cfg, spec, params, val_pipe, verbose=False)
+        assert 0 <= stats["roc_auc"] <= 1
+
+
+class TestClinicalInference:
+    def test_clinical_scoring(self, tmp_path):
+        import pandas as pd
+        gd, sp, cp = synthetic_clinical_corpus(str(tmp_path), num_rows=24,
+                                               num_patients=6, seed=15)
+        cfg = tiny_config(tmp_path, model="HybridModelv2", full_sequence=True)
+        ds = ClinicalDataset.load(cfg, gd, sp)
+        vae_dim = ds.seq_full.shape[1] * 21
+        spec, params = build_model(cfg.model, vae_dim, jax.random.key(0))
+        pipe = BatchPipeline(ds, np.arange(len(ds)), split="infer", binary=True,
+                             full=True, config=cfg, shuffle=False)
+        clinical = {"pipe": pipe, "valid": ds.valid,
+                    "seq_df": pd.read_table(sp), "clin_df": pd.read_table(cp)}
+        out = inference_clinical_only(cfg, spec, params, clinical)
+        assert 0 <= out["os_p_value"] <= 1
+        assert 0 <= out["pfs_p_value"] <= 1
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        spec, params = build_model("SequenceModel", 42 * 21, jax.random.key(0))
+        path = str(tmp_path / "m.ckpt")
+        save_checkpoint(path, params)
+        zeroed = jax.tree.map(lambda x: np.zeros_like(x), params)
+        restored = load_checkpoint(path, zeroed)
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestSchedule:
+    def test_warmup_cosine_trace(self):
+        sched = linear_warmup_cosine_annealing(1e-3, warmup_epochs=10,
+                                               max_epochs=40, warmup_start_lr=1e-5)
+        lrs = [float(sched(e)) for e in range(40)]
+        assert lrs[0] == pytest.approx(1e-5)
+        # linear ramp reaches base lr at warmup end
+        assert lrs[10] == pytest.approx(1e-3, rel=1e-6)
+        # cosine decays monotonically after warmup
+        assert all(a >= b - 1e-12 for a, b in zip(lrs[10:], lrs[11:]))
+        assert lrs[-1] < 1e-4
