@@ -1,0 +1,99 @@
+"""Benchmark: flagship training throughput on the local accelerator.
+
+Measures the fully-fused HybridModelv2 training step (EGNN x6 + node
+attention + VAE + fusion attention + weighted loss + backward + Adam) at
+reference-realistic shapes: batch 128 (train_Cancer_wFT.py:21), 288 padded
+nodes (283-node pMHC graphs rounded to tiling, SURVEY.md section 3.3),
+2560 padded directed edges (~9 average degree contact graphs), full
+283*21-style one-hot sequences.
+
+Prints ONE JSON line:
+  {"metric": "train_samples_per_sec_per_chip", "value": N,
+   "unit": "pMHC/s", "vs_baseline": N}
+
+vs_baseline: the reference publishes no throughput numbers
+(BASELINE.json "published": {}). The denominator is a documented estimate
+of the reference stack's single-GPU training throughput at the same shapes
+(DGL EGNNConv x6 + torch, batch 128): ~2000 pMHC/s. The BASELINE.json
+north star asks for >= 10x, i.e. vs_baseline >= 10.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+ASSUMED_REFERENCE_SAMPLES_PER_SEC = 2000.0
+
+BATCH = 128
+NODES = 288
+EDGES = 2560
+SEQ_LEN = 284  # ~283-token chains
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from immunostruct_tpu.models import build_model
+    from immunostruct_tpu.procedures.train import Trainer, make_optimizer
+    from immunostruct_tpu.structs import GraphBatch, SampleBatch
+    from immunostruct_tpu.utils.losses import LossConfig
+    from immunostruct_tpu.utils.schedule import constant_lr
+
+    rng = np.random.default_rng(0)
+    onehot = np.zeros((BATCH, NODES, 20), np.float32)
+    for b in range(BATCH):
+        onehot[b, np.arange(NODES), rng.integers(0, 20, NODES)] = 1.0
+    graph = GraphBatch(
+        node_feat=jnp.asarray(onehot),
+        coords=jnp.asarray(rng.standard_normal((BATCH, NODES, 3)).astype(np.float32)),
+        edge_src=jnp.asarray(rng.integers(0, NODES, (BATCH, EDGES)).astype(np.int32)),
+        edge_dst=jnp.asarray(rng.integers(0, NODES, (BATCH, EDGES)).astype(np.int32)),
+        edge_feat=jnp.ones((BATCH, EDGES, 1), jnp.float32),
+        edge_mask=jnp.ones((BATCH, EDGES), bool),
+        node_mask=jnp.ones((BATCH, NODES), bool),
+        num_nodes=jnp.full((BATCH,), NODES, jnp.int32),
+    )
+    seq = jnp.asarray(rng.random((BATCH, SEQ_LEN, 21)).astype(np.float32))
+    props = jnp.asarray(rng.random((BATCH, 2)).astype(np.float32))
+    target = jnp.asarray((rng.random(BATCH) > 0.5).astype(np.float32))
+    batch = SampleBatch(graph=graph, seq_onehot=seq, props=props,
+                        target=target, aux_residue=None)
+
+    vae_dim = SEQ_LEN * 21
+    spec, params = build_model("HybridModelv2", vae_dim, jax.random.key(0))
+    loss_cfg = LossConfig(vae_dim, pos_weight=1.0, sequence=True)
+    optimizer = make_optimizer("adam", constant_lr(1e-3))
+
+    platform = jax.devices()[0].platform
+    compute_dtype = jnp.bfloat16 if platform == "tpu" else jnp.float32
+    trainer = Trainer(spec, loss_cfg, binary=True, optimizer=optimizer,
+                      aggregation="auto", compute_dtype=compute_dtype,
+                      donate=True)
+    state = trainer.init_state(params)
+    key = jax.random.key(1)
+
+    # warmup/compile
+    state, loss = trainer._train_step(state, batch, key)
+    jax.block_until_ready(loss)
+
+    steps = 30 if platform == "tpu" else 3
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, loss = trainer._train_step(state, batch, key)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    samples_per_sec = BATCH * steps / dt
+    print(json.dumps({
+        "metric": "train_samples_per_sec_per_chip",
+        "value": round(samples_per_sec, 2),
+        "unit": "pMHC/s",
+        "vs_baseline": round(samples_per_sec / ASSUMED_REFERENCE_SAMPLES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
