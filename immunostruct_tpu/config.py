@@ -77,6 +77,7 @@ class Config:
     pad_nodes_multiple: int = 8      # round corpus max_nodes up for tiling
     pad_edges_multiple: int = 128    # round corpus max_edges up for tiling
     mesh_shape: str = "data"         # 1-D data-parallel mesh by default
+    data_parallel: bool = False      # shard batches over all local devices
     donate_state: bool = True
     aggregation: str = "auto"        # 'auto' | 'onehot' | 'scatter' EGNN aggregation
 

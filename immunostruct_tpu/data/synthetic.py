@@ -55,22 +55,34 @@ def _make_graph(rng, seq: str, knn: int = 4):
     return x, coords, edge_index
 
 
+def _hla_table(root: str, rng, hla_len: int, shared_hla_path=None):
+    """Write (or reuse) the HLA csv; returns (path, {allele: seq})."""
+    if shared_hla_path and os.path.exists(shared_hla_path):
+        df = pd.read_csv(shared_hla_path)
+        return shared_hla_path, dict(zip(df["allele"], df["seqs"]))
+    hla_seqs = {name: _random_seq(rng, hla_len) for name in _HLA_NAMES[:4]}
+    path = shared_hla_path or os.path.join(root, "HLA_seqs.csv")
+    pd.DataFrame({"allele": list(hla_seqs), "seqs": list(hla_seqs.values())}
+                 ).to_csv(path, index=False)
+    return path, hla_seqs
+
+
 def synthetic_corpus(root: str, num_samples: int = 32, hla_len: int = 48,
                      pep_len_range=(8, 11), seed: int = 0,
-                     cancer: bool = False, positive_rate: float = 0.4):
+                     cancer: bool = False, positive_rate: float = 0.4,
+                     shared_hla_path=None):
     """Write a synthetic (graph dir, property tsv, hla csv) trio.
 
-    Returns (graph_dir, property_path, hla_path).
+    Returns (graph_dir, property_path, hla_path). Pass ``shared_hla_path``
+    to reuse one HLA table across corpora (required when several corpora
+    feed the same run, as the Cancer curriculum does).
     """
     rng = np.random.default_rng(seed)
     tag = "Cancer" if cancer else "IEDB"
     graph_dir = os.path.join(root, f"graph_pyg_{tag}")
     os.makedirs(graph_dir, exist_ok=True)
 
-    hla_seqs = {name: _random_seq(rng, hla_len) for name in _HLA_NAMES[:4]}
-    hla_path = os.path.join(root, "HLA_seqs.csv")
-    pd.DataFrame({"allele": list(hla_seqs), "seqs": list(hla_seqs.values())}
-                 ).to_csv(hla_path, index=False)
+    hla_path, hla_seqs = _hla_table(root, rng, hla_len, shared_hla_path)
 
     rows = []
     for i in range(num_samples):
@@ -109,7 +121,8 @@ def synthetic_corpus(root: str, num_samples: int = 32, hla_len: int = 48,
 
 
 def synthetic_comparative_corpus(root: str, num_samples: int = 24,
-                                 hla_len: int = 48, seed: int = 0):
+                                 hla_len: int = 48, seed: int = 0,
+                                 shared_hla_path=None):
     """Paired cancer/WT corpus: graphs for both branches + the two TSVs.
 
     WT peptides are single-point mutations of the cancer peptides.
@@ -121,10 +134,7 @@ def synthetic_comparative_corpus(root: str, num_samples: int = 24,
     os.makedirs(dir_c, exist_ok=True)
     os.makedirs(dir_w, exist_ok=True)
 
-    hla_seqs = {name: _random_seq(rng, hla_len) for name in _HLA_NAMES[:4]}
-    hla_path = os.path.join(root, "HLA_seqs.csv")
-    pd.DataFrame({"allele": list(hla_seqs), "seqs": list(hla_seqs.values())}
-                 ).to_csv(hla_path, index=False)
+    hla_path, hla_seqs = _hla_table(root, rng, hla_len, shared_hla_path)
 
     rows_c, rows_w = [], []
     for i in range(num_samples):

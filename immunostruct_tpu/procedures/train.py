@@ -210,10 +210,18 @@ def train_model(config, spec: ModelSpec, params: dict, train_pipe, val_pipe,
     schedule = lr_schedule if lr_schedule is not None else constant_lr(learning_rate)
     optimizer = make_optimizer(optimizer_name, schedule, weight_decay,
                                steps_per_epoch=max(len(train_pipe), 1))
-    trainer = Trainer(spec, loss_cfg, binary=binary, optimizer=optimizer,
-                      coeff_contrastive=coeff_contrastive,
-                      aggregation=config.aggregation,
-                      compute_dtype=jnp.dtype(config.compute_dtype))
+    if getattr(config, "data_parallel", False):
+        from immunostruct_tpu.parallel.trainer import make_sharded_trainer
+        trainer = make_sharded_trainer(
+            spec, loss_cfg, binary=binary, optimizer=optimizer,
+            coeff_contrastive=coeff_contrastive,
+            aggregation=config.aggregation,
+            compute_dtype=jnp.dtype(config.compute_dtype))
+    else:
+        trainer = Trainer(spec, loss_cfg, binary=binary, optimizer=optimizer,
+                          coeff_contrastive=coeff_contrastive,
+                          aggregation=config.aggregation,
+                          compute_dtype=jnp.dtype(config.compute_dtype))
     state = trainer.init_state(params, rng)
     ckpt = (config.model_save_path_pretrain if stage == "pretrain"
             else config.model_save_path_finetune)
