@@ -37,6 +37,38 @@ from immunostruct_tpu.structs import GraphBatch, SampleBatch, ComparativeBatch
 from immunostruct_tpu.data.dataset import ImmunoDataset, ComparativeDataset
 
 
+def prefetch(iterator, size: int = 2):
+    """Double-buffered host prefetch: assemble the next batch (numpy work +
+    H2D transfer) on a background thread while the device runs the current
+    step — keeps featurization off the critical path (SURVEY.md section 7,
+    hard part f)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    sentinel = object()
+    err: list = []
+
+    def producer():
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as e:  # noqa: BLE001 - re-raised on consumer side
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
 def _random_rotations(rng: np.random.Generator, count: int) -> np.ndarray:
     """Batch of QR-orthogonalized random 3x3 matrices (data/utils.py:148-155)."""
     m = rng.standard_normal((count, 3, 3))

@@ -127,6 +127,7 @@ def egnn_apply(
     edge_feat: jax.Array,    # [B, E, Fe]
     edge_mask: jax.Array,    # [B, E]
     scatter_matrix: Optional[jax.Array] = None,
+    aggregation: str = "onehot",
 ) -> Tuple[jax.Array, jax.Array]:
     """One EGNN layer. Returns (h', x')."""
     n = h.shape[1]
@@ -156,13 +157,18 @@ def egnn_apply(
     cw = linear_apply(params["coord_mlp"][1], cw)              # [B, E, 1]
     msg_x = cw.astype(x_hat.dtype) * x_hat                     # [B, E, 3]
 
-    if scatter_matrix is None:
+    if scatter_matrix is None and aggregation != "pallas":
         h_agg = _aggregate(m, edge_dst, edge_mask, n, None)
         x_agg = _aggregate(msg_x, edge_dst, edge_mask, n, None)
     else:
         # fuse both aggregations into one matmul over concat channel dim
         both = jnp.concatenate([m, msg_x.astype(m.dtype)], axis=-1)
-        agg = _aggregate(both, edge_dst, edge_mask, n, scatter_matrix)
+        if aggregation == "pallas":
+            from immunostruct_tpu.ops.pallas_segment import segment_scatter
+            interpret = jax.devices()[0].platform != "tpu"
+            agg = segment_scatter(edge_dst, edge_mask, both, n, interpret)
+        else:
+            agg = _aggregate(both, edge_dst, edge_mask, n, scatter_matrix)
         h_agg, x_agg = agg[..., : m.shape[-1]], agg[..., m.shape[-1]:].astype(x.dtype)
 
     hn = jnp.concatenate([h, h_agg], axis=-1)
@@ -179,14 +185,23 @@ def egnn_stack_apply(
     edge_feat: jax.Array, edge_mask: jax.Array,
     aggregation: str = "auto",
 ) -> Tuple[jax.Array, jax.Array]:
-    """Run the full conv stack, sharing one scatter matrix across layers."""
+    """Run the full conv stack, sharing one scatter matrix across layers.
+
+    aggregation: 'auto' picks 'pallas' on TPU (fused on-chip one-hot matmul,
+    no HBM scatter matrix) and 'scatter' elsewhere; 'onehot' materializes the
+    [B, N, E] matrix once and shares it across layers.
+    """
     if aggregation == "auto":
         platform = jax.devices()[0].platform
-        aggregation = "onehot" if platform == "tpu" else "scatter"
+        aggregation = "pallas" if platform == "tpu" else "scatter"
+    if aggregation == "pallas":
+        from immunostruct_tpu.ops.pallas_segment import _pick_tile
+        if _pick_tile(edge_dst.shape[1]) == 0:
+            aggregation = "onehot"  # edge pad not 128-aligned: fall back
     scatter_matrix = None
     if aggregation == "onehot":
         scatter_matrix = build_scatter_matrix(edge_dst, edge_mask, h.shape[1], dtype=h.dtype)
     for params in layers:
         h, x = egnn_apply(params, h, x, edge_src, edge_dst, edge_feat, edge_mask,
-                          scatter_matrix=scatter_matrix)
+                          scatter_matrix=scatter_matrix, aggregation=aggregation)
     return h, x

@@ -145,16 +145,33 @@ class Trainer:
     def fit(self, state: TrainState, train_pipe, val_pipe, num_epochs: int,
             rng: jax.Array, ckpt_path: Optional[str] = None,
             log_fn: Optional[Callable[[dict], None]] = None,
-            verbose: bool = True):
-        """Best-val-checkpointed training. Returns (state, history)."""
+            verbose: bool = True, resume_path: Optional[str] = None):
+        """Best-val-checkpointed training. Returns (state, history).
+
+        ``resume_path``: optional full-state snapshot file; when it exists,
+        training continues from the saved epoch (params + optimizer state +
+        best-val tracker) — within-stage resume the reference lacks.
+        """
+        from immunostruct_tpu.utils.checkpoint import (
+            save_resume_state, load_resume_state,
+        )
         history = {"train_loss": [], "val_loss": [], "epoch_time": []}
         lowest_val = float("inf")
+        start_epoch = 0
+        if resume_path:
+            resumed = load_resume_state(resume_path, state)
+            if resumed is not None:
+                state, start_epoch, lowest_val = resumed
+                if verbose:
+                    print(f"resumed from {resume_path} at epoch {start_epoch}")
         eval_rng = jax.random.fold_in(rng, 0xE7A1)
 
-        for epoch in range(num_epochs):
+        from immunostruct_tpu.data.pipeline import prefetch
+
+        for epoch in range(start_epoch, num_epochs):
             t0 = time.perf_counter()
             train_loss, n_train = 0.0, 0
-            for batch in train_pipe.epoch(epoch):
+            for batch in prefetch(train_pipe.epoch(epoch)):
                 batch = self._shard(batch)
                 state, loss = self._train_step(state, batch, rng)
                 train_loss += float(loss)
@@ -173,6 +190,9 @@ class Trainer:
                 lowest_val = val_loss
                 if ckpt_path:
                     save_checkpoint(ckpt_path, state.params)
+
+            if resume_path:
+                save_resume_state(resume_path, state, epoch, lowest_val)
 
             dt = time.perf_counter() - t0
             history["train_loss"].append(train_loss)

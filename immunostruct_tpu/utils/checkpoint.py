@@ -31,3 +31,19 @@ def load_checkpoint(path: str, like: Any) -> Any:
     with open(path, "rb") as f:
         data = f.read()
     return serialization.from_bytes(like, data)
+
+
+def save_resume_state(path: str, state: Any, epoch: int, best_val: float) -> None:
+    """Full training-state snapshot (params + optimizer + progress) for
+    within-stage resume — a capability the reference lacks entirely
+    (SURVEY.md section 5: 'Resume-within-stage does not exist')."""
+    save_checkpoint(path, {"state": state, "epoch": epoch, "best_val": best_val})
+
+
+def load_resume_state(path: str, state_like: Any):
+    """Returns (state, next_epoch, best_val) or None when no snapshot exists."""
+    if not os.path.exists(path):
+        return None
+    restored = load_checkpoint(
+        path, {"state": state_like, "epoch": 0, "best_val": 0.0})
+    return restored["state"], int(restored["epoch"]) + 1, float(restored["best_val"])

@@ -74,7 +74,7 @@ def measure(aggregation, dtype_name, batch_size=128, nodes=288, edges=2560,
 
 def main():
     results = {}
-    for agg in ("onehot", "scatter"):
+    for agg in ("pallas", "onehot", "scatter"):
         for dt in ("bfloat16", "float32"):
             try:
                 results[f"{agg}/{dt}"] = round(measure(agg, dt), 1)
