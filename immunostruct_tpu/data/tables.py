@@ -102,6 +102,28 @@ def parse_property_tables_cancer_wt(path_cancer: str, path_wt: str) -> pd.DataFr
     return combined
 
 
+def find_matching_allele(peptide: str, alleles: Iterable[str],
+                         pep_pairs: set) -> object:
+    """First allele whose (peptide + allele) key exists in the table
+    (reference: data/utils.py:38-43; returns 0 when none match)."""
+    for allele in alleles:
+        combo = peptide + allele
+        if combo in pep_pairs:
+            return combo
+    return 0
+
+
+def get_z_peps(expanded_df: pd.DataFrame, seq_df: pd.DataFrame) -> list:
+    """Peptides with combo2 == 0 whose table rows are all non-immunogenic
+    (reference: data/utils.py:45-52)."""
+    z_peps = []
+    for pep in seq_df[seq_df["combo2"] == 0]["peptide"].tolist():
+        rows = expanded_df[expanded_df["peptide"] == pep]
+        if rows["immunogenicity"].sum() == 0:
+            z_peps.append(pep)
+    return z_peps
+
+
 def expand_hla(pep_pairs: Iterable[str], hla_path: str) -> dict:
     """pep_pair -> (full_chain, graph_key, peptide) (preprocess.py:132-145).
 

@@ -67,8 +67,16 @@ def node_features(resnames: list[str]) -> np.ndarray:
 
 
 def featurize_pdb(path: str, edge_config: EdgeConfig = EdgeConfig(),
-                  name: Optional[str] = None, use_native: bool = True):
-    """One PDB -> (name, x [n,22], coords [n,3], edge_index [2,e])."""
+                  name: Optional[str] = None, use_native: bool = True,
+                  mask_percentage: float = 0.0,
+                  mask_rng: Optional[np.random.Generator] = None):
+    """One PDB -> (name, x [n,22], coords [n,3], edge_index [2,e]).
+
+    ``mask_percentage`` zeroes the one-hot of that fraction of *peptide*
+    residues (sequence position >= 273), the reference's optional peptide
+    masking (cancer_graph_construction_new_KBG.py:20-31, pct=0 at :131;
+    MASK encodes as the all-zero row, enc_dict :86).
+    """
     chain = None
     if use_native:
         from immunostruct_tpu.featurize.native import native_featurize
@@ -86,6 +94,14 @@ def featurize_pdb(path: str, edge_config: EdgeConfig = EdgeConfig(),
         coords, resnames, resnums, chains, edge_index = chain
 
     x = node_features(resnames)
+
+    if mask_percentage > 0:
+        rng = mask_rng if mask_rng is not None else np.random.default_rng(0)
+        pep_idx = np.nonzero(np.asarray(resnums) >= 273)[0]
+        k = int(len(pep_idx) * mask_percentage / 100)
+        if k > 0:
+            picked = rng.choice(pep_idx, size=k, replace=False)
+            x[picked, :20] = 0.0  # MASK = zero one-hot
 
     if name is None:
         stem = os.path.splitext(os.path.basename(path))[0]

@@ -193,7 +193,10 @@ def egnn_stack_apply(
     """
     if aggregation == "auto":
         platform = jax.devices()[0].platform
-        aggregation = "pallas" if platform == "tpu" else "scatter"
+        # onehot matmul measured 80x faster than scatter on TPU v5e
+        # (scripts/perf_sweep.py); 'pallas' is opt-in until validated on the
+        # target toolchain (remote-compile helpers may trail Mosaic features)
+        aggregation = "onehot" if platform == "tpu" else "scatter"
     if aggregation == "pallas":
         from immunostruct_tpu.ops.pallas_segment import _pick_tile
         if _pick_tile(edge_dst.shape[1]) == 0:
