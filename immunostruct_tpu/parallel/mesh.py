@@ -51,3 +51,23 @@ def replicate_tree(tree, mesh: Mesh):
     """Replicate parameters/optimizer state across the mesh."""
     sharding = replicated_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_indices_for_process(indices, process_index: Optional[int] = None,
+                              process_count: Optional[int] = None):
+    """Host-side data sharding for multi-host training.
+
+    Each process keeps a contiguous 1/process_count slice of the (already
+    shuffled) index list — the TPU-native replacement for a
+    DistributedSampler (which the reference never had; SURVEY.md section 5).
+    Defaults read jax.process_index()/jax.process_count(), so single-host
+    runs are identity.
+    """
+    import numpy as np
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    indices = np.asarray(indices)
+    per = len(indices) // pc
+    if per == 0:
+        return indices
+    return indices[pi * per:(pi + 1) * per]

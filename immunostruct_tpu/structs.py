@@ -19,9 +19,25 @@ import numpy as np
 
 
 def _register(cls, data_fields, meta_fields=()):
-    return jax.tree_util.register_dataclass(
+    cls = jax.tree_util.register_dataclass(
         cls, data_fields=list(data_fields), meta_fields=list(meta_fields)
     )
+    # also register for jax.export serialization (serving artifacts carry
+    # these pytrees in their calling convention)
+    try:
+        from jax import export as jexport
+
+        # register_dataclass nodes carry their meta-field values as auxdata;
+        # all fields here are data fields, so the auxdata is the empty tuple
+        jexport.register_pytree_node_serialization(
+            cls,
+            serialized_name=f"immunostruct_tpu.{cls.__name__}",
+            serialize_auxdata=lambda aux: b"",
+            deserialize_auxdata=lambda data: (),
+        )
+    except Exception:  # noqa: BLE001 - older jax without export registration
+        pass
+    return cls
 
 
 @dataclasses.dataclass

@@ -17,9 +17,12 @@ from flax import serialization
 
 
 def save_checkpoint(path: str, tree: Any) -> None:
+    """Serialize the pytree's leaves (msgpack); structure comes from the
+    ``like`` argument at load time, so arbitrary registered dataclasses
+    (TrainState, optimizer states) round-trip."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    host_tree = jax.tree.map(np.asarray, tree)
-    data = serialization.to_bytes(host_tree)
+    leaves = [np.asarray(leaf) for leaf in jax.tree.leaves(tree)]
+    data = serialization.to_bytes(leaves)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(data)
@@ -30,7 +33,10 @@ def load_checkpoint(path: str, like: Any) -> Any:
     """Restore into the structure of ``like`` (shapes/dtypes must match)."""
     with open(path, "rb") as f:
         data = f.read()
-    return serialization.from_bytes(like, data)
+    like_leaves, treedef = jax.tree.flatten(like)
+    restored = serialization.from_bytes(
+        [np.asarray(leaf) for leaf in like_leaves], data)
+    return jax.tree.unflatten(treedef, restored)
 
 
 def save_resume_state(path: str, state: Any, epoch: int, best_val: float) -> None:

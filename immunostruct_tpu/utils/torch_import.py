@@ -1,0 +1,117 @@
+"""Import reference PyTorch checkpoints into immunostruct-tpu param pytrees.
+
+Lets users of the reference bring their trained ``state_dict()`` files
+(saved by procedures/train.py:48-55) into this framework. The key layout is
+derived from the reference model definitions:
+
+  vae_fc1/fc21/fc22/fc3/fc4            hybrid_models.py:37-41
+  property_embedding.{0,3}             hybrid_models.py:46-52 (Sequential)
+  classifier.{1,4} (plain)             hybrid_models.py:54-61 (Flatten at 0)
+  classifier.1 + classifier_head +
+  node_predictor_head (SSL)            hybrid_models.py:157-160
+  self_attention.{query,key,value}     layers.py:6-11 (SelfAttention)
+  self_attention.w_{q,k,v,concat}      layers.py:51-64 (MultiHeadAttention)
+  combined_attention.w_*               hybrid_models.py:275 (v2)
+  GCN_layers.{i}.{edge,node,coord}_mlp.{0,2}   DGL EGNNConv submodules
+
+torch Linear stores weight [out, in]; our layout is w [in, out], so weights
+transpose on the way in. Accepts either a torch state_dict (tensors) or any
+mapping of numpy arrays with the same keys, so torch is not required.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import numpy as np
+
+from immunostruct_tpu.models.trunk import ModelSpec
+
+
+def _to_np(x) -> np.ndarray:
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x, dtype=np.float32)
+
+
+def _linear(sd: Mapping, prefix: str, bias: bool = True) -> dict:
+    out = {"w": _to_np(sd[f"{prefix}.weight"]).T}
+    if bias:
+        out["b"] = _to_np(sd[f"{prefix}.bias"])
+    return out
+
+
+def _mha(sd: Mapping, prefix: str) -> dict:
+    return {
+        "w_q": _linear(sd, f"{prefix}.w_q"),
+        "w_k": _linear(sd, f"{prefix}.w_k"),
+        "w_v": _linear(sd, f"{prefix}.w_v"),
+        "w_concat": _linear(sd, f"{prefix}.w_concat"),
+    }
+
+
+def import_torch_state_dict(sd: Mapping, spec: ModelSpec) -> dict:
+    """Reference state_dict -> param pytree matching ``model_init(spec)``."""
+    params: dict = {}
+
+    if spec.use_structure:
+        gcn = []
+        i = 0
+        while f"GCN_layers.{i}.edge_mlp.0.weight" in sd:
+            p = f"GCN_layers.{i}"
+            gcn.append({
+                "edge_mlp": [_linear(sd, f"{p}.edge_mlp.0"),
+                             _linear(sd, f"{p}.edge_mlp.2")],
+                "node_mlp": [_linear(sd, f"{p}.node_mlp.0"),
+                             _linear(sd, f"{p}.node_mlp.2")],
+                "coord_mlp": [_linear(sd, f"{p}.coord_mlp.0"),
+                              _linear(sd, f"{p}.coord_mlp.2", bias=False)],
+            })
+            i += 1
+        if not gcn:
+            raise KeyError("no GCN_layers.* keys found in state_dict")
+        params["gcn"] = gcn
+
+        if spec.node_attention == "self":
+            params["node_attn"] = {
+                "query": _linear(sd, "self_attention.query"),
+                "key": _linear(sd, "self_attention.key"),
+                "value": _linear(sd, "self_attention.value"),
+            }
+        else:
+            params["node_attn"] = _mha(sd, "self_attention")
+
+    if spec.use_sequence:
+        params["vae"] = {
+            "fc1": _linear(sd, "vae_fc1"),
+            "fc21": _linear(sd, "vae_fc21"),
+            "fc22": _linear(sd, "vae_fc22"),
+            "fc3": _linear(sd, "vae_fc3"),
+            "fc4": _linear(sd, "vae_fc4"),
+        }
+
+    if spec.use_property and spec.use_sequence:
+        params["property_embedding"] = [
+            _linear(sd, "property_embedding.0"),
+            _linear(sd, "property_embedding.3"),
+        ]
+
+    if spec.combined_attention_dim > 0:
+        params["combined_attention"] = _mha(sd, "combined_attention")
+
+    classifier = {"trunk": _linear(sd, "classifier.1")}
+    if spec.ssl:
+        classifier["classifier_head"] = _linear(sd, "classifier_head")
+        classifier["node_predictor_head"] = _linear(sd, "node_predictor_head")
+    else:
+        classifier["out"] = _linear(sd, "classifier.4")
+    params["classifier"] = classifier
+    return params
+
+
+def import_torch_checkpoint(path: str, spec: ModelSpec) -> dict:
+    """Load a reference ``.pt`` checkpoint file (requires torch)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return import_torch_state_dict(sd, spec)

@@ -22,6 +22,12 @@ jax.config.update("jax_platforms", "cpu")
 assert jax.devices()[0].platform == "cpu"
 assert len(jax.devices()) == 8, "expected 8 virtual CPU devices for sharding tests"
 
+# persistent compilation cache: the suite compiles many full-model programs;
+# warm runs skip recompilation entirely
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np
 import pytest
 
