@@ -36,6 +36,8 @@ SEQ_LEN = 284  # ~283-token chains
 def main():
     import jax
     import jax.numpy as jnp
+    from immunostruct_tpu.config import enable_compilation_cache
+    enable_compilation_cache()
     from immunostruct_tpu.models import build_model
     from immunostruct_tpu.procedures.train import Trainer, make_optimizer
     from immunostruct_tpu.structs import GraphBatch, SampleBatch

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import argparse
 
-from immunostruct_tpu.config import Config, update_paths
+from immunostruct_tpu.config import Config, update_paths, enable_compilation_cache
 
 
 def base_parser(description: str) -> argparse.ArgumentParser:
@@ -42,4 +42,5 @@ def to_config(args: argparse.Namespace, **extra) -> Config:
     kv.update(extra)
     cfg = Config(**kv)
     update_paths(cfg)
+    enable_compilation_cache()
     return cfg

@@ -121,6 +121,20 @@ def sequence_input_dim(max_full_len: int, max_pep_len: int, full_sequence: bool,
     return (max_full_len if full_sequence else max_pep_len) * alphabet_size
 
 
+def enable_compilation_cache(cache_dir: Optional[str] = None) -> None:
+    """Persistent XLA compilation cache: repeat runs (and repeated shapes
+    across stages) skip recompilation. Called by every CLI and bench."""
+    import jax
+
+    cache_dir = cache_dir or os.path.join(
+        os.path.expanduser("~"), ".cache", "immunostruct_tpu_jax")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 - older jax without the knobs
+        pass
+
+
 def update_paths(config: Config, root: str = ROOT_DIR) -> Config:
     """Expand ``$ROOT`` in all string fields (reference: utils/update_paths.py:6-24)."""
     for field in dataclasses.fields(config):
