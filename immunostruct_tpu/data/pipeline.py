@@ -148,9 +148,15 @@ class BatchPipeline:
     def __init__(self, dataset: ImmunoDataset, indices: np.ndarray, *,
                  split: str, binary: bool, full: bool, config,
                  ssl: bool = False, shuffle: Optional[bool] = None,
-                 batch_size: Optional[int] = None, extend_to: int = 0):
+                 batch_size: Optional[int] = None, extend_to: int = 0,
+                 pad_final_batch: bool = False):
+        """``pad_final_batch``: repeat samples to fill the trailing partial
+        batch so every step shares one compiled shape (one less XLA program;
+        slightly re-weights the loss on the final step — off by default for
+        reference parity)."""
         self.ds = dataset
         self.indices = np.asarray(indices, np.int64)
+        self.pad_final_batch = pad_final_batch
         if extend_to and len(self.indices) < extend_to:
             reps = int(np.ceil(extend_to / len(self.indices)))
             self.indices = np.tile(self.indices, reps)[:extend_to]
@@ -226,7 +232,13 @@ class BatchPipeline:
             else np.arange(len(self.indices))
         idx = self.indices[order]
         for start in range(0, len(idx), self.batch_size):
-            yield self._assemble(rng, idx[start:start + self.batch_size])
+            rows = idx[start:start + self.batch_size]
+            if self.pad_final_batch and len(rows) < self.batch_size:
+                fill = idx[:self.batch_size - len(rows)]
+                if len(fill) < self.batch_size - len(rows):
+                    fill = np.resize(idx, self.batch_size - len(rows))
+                rows = np.concatenate([rows, fill])
+            yield self._assemble(rng, rows)
 
     def __iter__(self):
         return self.epoch()
