@@ -18,6 +18,26 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up: ``jax.distributed.initialize`` so a single
+    ``make_mesh()`` then spans every chip in the slice/pod (gradient
+    all-reduce rides ICI within a slice and DCN across slices). No-ops on a
+    single process or when already initialized."""
+    if jax.process_count() > 1:
+        return
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except (ValueError, RuntimeError) as e:
+        # single-process run without coordinator env: nothing to do
+        if coordinator_address is not None:
+            raise
+        del e
+
+
 def make_mesh(axis_name: str = "data", devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     return Mesh(np.asarray(devices), (axis_name,))
