@@ -33,6 +33,8 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    choices=["auto", "onehot", "scatter"])
     p.add_argument("--data-parallel", action="store_true",
                    help="shard batches over all local devices")
+    p.add_argument("--resume", action="store_true",
+                   help="continue an interrupted stage from its .resume snapshot")
     return p
 
 

@@ -79,7 +79,8 @@ class Config:
     mesh_shape: str = "data"         # 1-D data-parallel mesh by default
     data_parallel: bool = False      # shard batches over all local devices
     donate_state: bool = True
-    aggregation: str = "auto"        # 'auto' | 'onehot' | 'scatter' EGNN aggregation
+    aggregation: str = "auto"        # 'auto'|'onehot'|'scatter'|'pallas' EGNN aggregation
+    resume: bool = False             # within-stage resume from .resume snapshots
 
     # derived (filled by `derive_paths`)
     model_save_path_pretrain: str = ""

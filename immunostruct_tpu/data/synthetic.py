@@ -70,12 +70,18 @@ def _hla_table(root: str, rng, hla_len: int, shared_hla_path=None):
 def synthetic_corpus(root: str, num_samples: int = 32, hla_len: int = 48,
                      pep_len_range=(8, 11), seed: int = 0,
                      cancer: bool = False, positive_rate: float = 0.4,
-                     shared_hla_path=None):
+                     shared_hla_path=None, planted_signal: bool = False):
     """Write a synthetic (graph dir, property tsv, hla csv) trio.
 
     Returns (graph_dir, property_path, hla_path). Pass ``shared_hla_path``
     to reuse one HLA table across corpora (required when several corpora
     feed the same run, as the Cancer curriculum does).
+
+    ``planted_signal=True`` makes labels learnable instead of random:
+    immunogenicity = [peptide hydrophobic fraction > median-ish threshold],
+    foreignness correlates with the same statistic, and Mprop1 carries a
+    noisy copy — so sequence-, property-, and structure-branch models can
+    all recover signal (used by the learnability tests).
     """
     rng = np.random.default_rng(seed)
     tag = "Cancer" if cancer else "IEDB"
@@ -93,12 +99,19 @@ def synthetic_corpus(root: str, num_samples: int = 32, hla_len: int = 48,
         x, coords, ei = _make_graph(rng, chain)
         save_graph_npz(os.path.join(graph_dir, f"g{i:04d}.npz"),
                        name=f"synImmuno{key}", x=x, coords=coords, edge_index=ei)
-        immuno = int(rng.random() < positive_rate)
-        foreign = float(rng.random())
+        if planted_signal:
+            hydrophobic = sum(c in "AVLIMFWPY" for c in pep) / len(pep)
+            immuno = int(hydrophobic > 0.45)
+            foreign = float(np.clip(hydrophobic + 0.1 * rng.standard_normal(), 0, 1))
+            mprop1 = float(np.clip(hydrophobic + 0.2 * rng.standard_normal(), 0, 1))
+        else:
+            immuno = int(rng.random() < positive_rate)
+            foreign = float(rng.random())
+            mprop1 = float(rng.random())
         row = {
             "immunogenicity": immuno,
             "smoothed_foreign": foreign,
-            "Mprop1": float(rng.random()),
+            "Mprop1": mprop1,
             "Mprop2": float(rng.random()),
         }
         if cancer:

@@ -204,6 +204,13 @@ class Trainer:
             if verbose:
                 print(f"Epoch {epoch + 1}, Train Loss: {train_loss:.4f}, "
                       f"Val Loss: {val_loss:.4f} ({dt:.2f}s)")
+
+        # stage finished: drop the resume snapshot so a later stage with the
+        # same paths starts fresh instead of short-circuiting
+        if resume_path:
+            import os
+            if os.path.exists(resume_path):
+                os.remove(resume_path)
         return state, history
 
     def _shard(self, batch):
@@ -245,8 +252,10 @@ def train_model(config, spec: ModelSpec, params: dict, train_pipe, val_pipe,
     state = trainer.init_state(params, rng)
     ckpt = (config.model_save_path_pretrain if stage == "pretrain"
             else config.model_save_path_finetune)
+    resume_path = (ckpt + ".resume") if getattr(config, "resume", False) else None
     state, history = trainer.fit(state, train_pipe, val_pipe, config.num_epochs,
-                                 rng, ckpt_path=ckpt, log_fn=log_fn, verbose=verbose)
+                                 rng, ckpt_path=ckpt, log_fn=log_fn,
+                                 verbose=verbose, resume_path=resume_path)
     return state.params, history
 
 

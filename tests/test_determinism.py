@@ -46,17 +46,24 @@ def test_same_seed_identical_trace(tmp_path):
 
 
 def test_resume_continues_training(tmp_path):
+    from immunostruct_tpu.utils.checkpoint import save_resume_state
+    import os
     cfg, spec, params, loss_cfg, mk = _setup(tmp_path)
     resume = str(tmp_path / "resume.ckpt")
 
-    # "crash" after 1 epoch
-    state1, h1 = _fit(cfg, spec, params, loss_cfg, mk, epochs=1,
-                      resume_path=resume)
+    # simulate a crash after epoch 0 of a 2-epoch run: run 1 epoch, then
+    # write the snapshot a crashed run would have left behind
+    state1, h1 = _fit(cfg, spec, params, loss_cfg, mk, epochs=1)
+    save_resume_state(resume, state1, epoch=0, best_val=h1["val_loss"][0])
+
     # resumed run does only the remaining epoch and continues the step count
     state2, h2 = _fit(cfg, spec, params, loss_cfg, mk, epochs=2,
                       resume_path=resume)
     assert len(h2["train_loss"]) == 1  # only epoch 1 ran
     assert int(state2.step) == 2 * int(state1.step)
+    # completed stage cleans up its snapshot (two-pretrain-stage curricula
+    # share checkpoint paths; stale snapshots must not short-circuit them)
+    assert not os.path.exists(resume)
 
     # full uninterrupted run for comparison: resumed params match bitwise
     # (same per-epoch rng streams, same batch order)
