@@ -8,7 +8,6 @@ Usage:
 
 from __future__ import annotations
 
-import numpy as np
 
 from immunostruct_tpu.cli.common import base_parser, to_config
 from immunostruct_tpu.models import build_model

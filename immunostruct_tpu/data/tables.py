@@ -24,7 +24,6 @@ from __future__ import annotations
 import hashlib
 from typing import Iterable
 
-import numpy as np
 import pandas as pd
 
 

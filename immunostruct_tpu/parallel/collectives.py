@@ -11,7 +11,6 @@ kernels).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 def psum(x, axis_name: str = "data"):
