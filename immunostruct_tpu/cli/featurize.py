@@ -23,7 +23,10 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="PDB -> graph featurizer")
     p.add_argument("--alphafold-folder", required=True, type=str)
     p.add_argument("--save-folder", required=True, type=str)
-    p.add_argument("--workers", default=8, type=int)
+    p.add_argument("--workers", default=1, type=int,
+                   help="thread count; >1 only pays for very large PDBs "
+                        "(scripts/bench_featurizer.py: single-thread native "
+                        "does ~850 structures/s on pMHC-sized inputs)")
     p.add_argument("--no-native", action="store_true",
                    help="force the pure-numpy path")
     args = p.parse_args(argv)
