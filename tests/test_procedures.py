@@ -161,6 +161,27 @@ class TestComparative:
         stats = inference(cfg, spec, params, val_pipe, verbose=False)
         assert 0 <= stats["roc_auc"] <= 1
 
+    def test_comparative_ssl(self, tmp_path):
+        dc, dw, pc, pw, hp = synthetic_comparative_corpus(str(tmp_path), num_samples=12, seed=14)
+        cfg = tiny_config(tmp_path, model="HybridModelv2_Comparative_SSL",
+                          sequence_loss=True, full_sequence=True, num_epochs=1,
+                          self_supervision=True, use_wt_for_downstream=True)
+        ds = ComparativeDataset.load(cfg, dc, dw, pc, pw, hp)
+        tr, va, _ = seeded_split(len(ds), (0.8, 0.1, 0.1), cfg.seed)
+        vae_dim = ds.cancer.seq_full.shape[1] * 21
+        spec, params = build_model(cfg.model, vae_dim, jax.random.key(0),
+                                   use_wt_for_downstream=True)
+        loss_cfg = LossConfig(vae_dim, pos_weight_from_counts(ds.class_weights),
+                              sequence=True, ssl=True)
+        train_pipe = ComparativePipeline(ds, tr, split="train", binary=False,
+                                         full=True, config=cfg, ssl=True)
+        val_pipe = ComparativePipeline(ds, va, split="val", binary=False,
+                                       full=True, config=cfg, ssl=True)
+        params, hist = train_model(cfg, spec, params, train_pipe, val_pipe,
+                                   loss_cfg, binary=False, learning_rate=1e-3,
+                                   verbose=False)
+        assert np.isfinite(hist["train_loss"]).all()
+
 
 class TestClinicalInference:
     def test_clinical_scoring(self, tmp_path):
