@@ -35,7 +35,24 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="shard batches over all local devices")
     p.add_argument("--resume", action="store_true",
                    help="continue an interrupted stage from its .resume snapshot")
+    p.add_argument("--device-data", action="store_true",
+                   help="keep the corpus HBM-resident and batch on device "
+                        "(no per-step host work; requires augmentation off)")
     return p
+
+
+def pick_pipeline(config, comparative: bool, ssl: bool):
+    """BatchPipeline by default; Device*Pipeline with --device-data when the
+    configuration has no host-side augmentation."""
+    from immunostruct_tpu.data import BatchPipeline, ComparativePipeline
+    if getattr(config, "device_data", False) and not ssl \
+            and config.sequence_pad_count == 0 and config.structure_pad_count == 0 \
+            and not config.force_graph_augmentation:
+        from immunostruct_tpu.data.device_pipeline import (
+            DevicePipeline, ComparativeDevicePipeline,
+        )
+        return ComparativeDevicePipeline if comparative else DevicePipeline
+    return ComparativePipeline if comparative else BatchPipeline
 
 
 def to_config(args: argparse.Namespace, **extra) -> Config:

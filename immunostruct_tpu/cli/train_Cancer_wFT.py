@@ -14,10 +14,10 @@ import jax
 import numpy as np
 import pandas as pd
 
-from immunostruct_tpu.cli.common import base_parser, to_config
+from immunostruct_tpu.cli.common import base_parser, to_config, pick_pipeline
 from immunostruct_tpu.data import (
     ImmunoDataset, ComparativeDataset, ClinicalDataset,
-    BatchPipeline, ComparativePipeline, seeded_split,
+    BatchPipeline, seeded_split,
 )
 from immunostruct_tpu.models import build_model, reset_head
 from immunostruct_tpu.procedures.train import train_model
@@ -84,7 +84,8 @@ def main(argv=None):
     # -- stage 1: IEDB foreignness pretrain (plain forward) ----------------------
     loss_cfg = LossConfig(vae_dim, pos_weight_from_counts(dataset_pt1.class_weights),
                           sequence=config.sequence_loss, ssl=ssl)
-    mk1 = lambda idx, split: BatchPipeline(
+    Pipe1 = pick_pipeline(config, comparative=False, ssl=ssl)
+    mk1 = lambda idx, split: Pipe1(
         dataset_pt1, idx, split=split, binary=False, full=config.full_sequence,
         config=config, ssl=ssl)
     params, _ = train_model(config, spec, params, mk1(tr1, "train"), mk1(va1, "val"),
@@ -103,7 +104,8 @@ def main(argv=None):
     # -- stage 2: comparative cancer-foreignness pretrain ------------------------
     loss_cfg = LossConfig(vae_dim, pos_weight_from_counts(dataset_pt2.class_weights),
                           sequence=config.sequence_loss, ssl=ssl)
-    mk2 = lambda idx, split, binary, **kw: ComparativePipeline(
+    Pipe2 = pick_pipeline(config, comparative=True, ssl=ssl)
+    mk2 = lambda idx, split, binary, **kw: Pipe2(
         dataset_pt2, idx, split=split, binary=binary, full=config.full_sequence,
         config=config, ssl=ssl, **kw)
     params, _ = train_model(config, spec, params, mk2(tr2, "train", False),

@@ -14,8 +14,8 @@ from __future__ import annotations
 
 import jax
 
-from immunostruct_tpu.cli.common import base_parser, to_config
-from immunostruct_tpu.data import ImmunoDataset, BatchPipeline, seeded_split
+from immunostruct_tpu.cli.common import base_parser, to_config, pick_pipeline
+from immunostruct_tpu.data import ImmunoDataset, seeded_split
 from immunostruct_tpu.models import build_model, reset_head
 from immunostruct_tpu.procedures.train import train_model
 from immunostruct_tpu.procedures.infer import inference
@@ -56,9 +56,10 @@ def main(argv=None):
                           ssl=config.self_supervision)
 
     ssl = config.self_supervision
+    Pipe = pick_pipeline(config, comparative=False, ssl=ssl)
 
     def pipes(binary):
-        mk = lambda idx, split: BatchPipeline(
+        mk = lambda idx, split: Pipe(
             dataset, idx, split=split, binary=binary, full=config.full_sequence,
             config=config, ssl=ssl)
         return mk(train_idx, "train"), mk(val_idx, "val"), mk(test_idx, "test")

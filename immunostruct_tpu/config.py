@@ -81,6 +81,7 @@ class Config:
     donate_state: bool = True
     aggregation: str = "auto"        # 'auto'|'onehot'|'scatter'|'pallas' EGNN aggregation
     resume: bool = False             # within-stage resume from .resume snapshots
+    device_data: bool = False        # HBM-resident corpus + on-device batching
 
     # derived (filled by `derive_paths`)
     model_save_path_pretrain: str = ""

@@ -1,0 +1,187 @@
+"""Device-resident corpus pipeline: zero per-step host work.
+
+The host BatchPipeline assembles every batch in numpy and pays an H2D copy
+per step. For the default training configuration (no SSL masking, no
+sequence masking, no graph augmentation — which is exactly the reference's
+effective non-SSL path, see data/pipeline.py notes) batches are pure row
+gathers, so the whole corpus can live in HBM once and batches become a
+single on-device gather:
+
+  - one-hots stored uint8 (4x smaller than f32; cast per batch on device),
+  - a ~27K-structure corpus at reference shapes is ~1.2 GB — comfortably
+    HBM-resident on one v5e chip,
+  - per-epoch shuffling stays host-side (tiny index arrays), the gather is
+    jitted and feeds the jitted train step directly.
+
+Use DevicePipeline when augmentation flags are off; fall back to
+BatchPipeline otherwise (it asserts).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from immunostruct_tpu.structs import GraphBatch, SampleBatch
+from immunostruct_tpu.data.dataset import ImmunoDataset
+
+
+@dataclasses.dataclass
+class DeviceCorpus:
+    """All rows + unique graphs resident on device."""
+
+    seq: jax.Array          # [M, L, 21] uint8 (full or peptide, chosen at build)
+    props: jax.Array        # [M, 2] f32
+    target: jax.Array       # [M] f32 (immuno or normalized foreignness)
+    graph_idx: jax.Array    # [M] int32
+    node_onehot: jax.Array  # [G, N, 20] uint8
+    coords: jax.Array       # [G, N, 3] f32
+    edge_src: jax.Array     # [G, E] int32
+    edge_dst: jax.Array     # [G, E] int32
+    edge_mask: jax.Array    # [G, E] bool
+    node_mask: jax.Array    # [G, N] bool
+    num_nodes: jax.Array    # [G] int32
+
+
+jax.tree_util.register_dataclass(
+    DeviceCorpus,
+    data_fields=["seq", "props", "target", "graph_idx", "node_onehot",
+                 "coords", "edge_src", "edge_dst", "edge_mask", "node_mask",
+                 "num_nodes"],
+    meta_fields=[])
+
+
+def build_device_corpus(ds: ImmunoDataset, *, binary: bool, full: bool,
+                        device=None) -> DeviceCorpus:
+    seq = ds.seq_full if full else ds.seq_pep
+    target = ds.immuno if binary else ds.foreign_norm
+    g = ds.graphs
+    put = partial(jax.device_put, device=device)
+    return DeviceCorpus(
+        seq=put(seq.astype(np.uint8)),
+        props=put(getattr(ds, "props_filled", ds.props)),
+        target=put(target),
+        graph_idx=put(ds.graph_idx),
+        node_onehot=put(g.node_onehot),
+        coords=put(g.coords),
+        edge_src=put(g.edge_src),
+        edge_dst=put(g.edge_dst),
+        edge_mask=put(g.edge_mask),
+        node_mask=put(g.node_mask),
+        num_nodes=put(g.num_nodes),
+    )
+
+
+@jax.jit
+def gather_batch(corpus: DeviceCorpus, rows: jax.Array) -> SampleBatch:
+    """[B] row indices -> SampleBatch, entirely on device."""
+    gi = corpus.graph_idx[rows]
+    e = corpus.edge_src.shape[1]
+    graph = GraphBatch(
+        node_feat=corpus.node_onehot[gi].astype(jnp.float32),
+        coords=corpus.coords[gi],
+        edge_src=corpus.edge_src[gi],
+        edge_dst=corpus.edge_dst[gi],
+        edge_feat=jnp.ones((rows.shape[0], e, 1), jnp.float32),
+        edge_mask=corpus.edge_mask[gi],
+        node_mask=corpus.node_mask[gi],
+        num_nodes=corpus.num_nodes[gi],
+    )
+    return SampleBatch(
+        graph=graph,
+        seq_onehot=corpus.seq[rows].astype(jnp.float32),
+        props=corpus.props[rows],
+        target=corpus.target[rows],
+        aux_residue=None,
+    )
+
+
+class DevicePipeline:
+    """BatchPipeline-compatible iterator over a device-resident corpus.
+
+    Supports the un-augmented path only (the reference's effective non-SSL
+    behavior); construction asserts the augmentation flags are off.
+    """
+
+    def __init__(self, dataset: ImmunoDataset, indices: np.ndarray, *,
+                 split: str, binary: bool, full: bool, config,
+                 ssl: bool = False, shuffle: Optional[bool] = None,
+                 batch_size: Optional[int] = None, extend_to: int = 0,
+                 pad_final_batch: bool = True, device=None):
+        assert not ssl, "DevicePipeline does not support SSL masking; use BatchPipeline"
+        assert config.sequence_pad_count == 0 and config.structure_pad_count == 0, \
+            "DevicePipeline does not support masking augmentation"
+        assert not config.force_graph_augmentation, \
+            "DevicePipeline does not support rotation augmentation"
+        self.corpus = build_device_corpus(dataset, binary=binary, full=full,
+                                          device=device)
+        self.indices = np.asarray(indices, np.int64)
+        if extend_to and len(self.indices) < extend_to:
+            reps = int(np.ceil(extend_to / len(self.indices)))
+            self.indices = np.tile(self.indices, reps)[:extend_to]
+        self.config = config
+        self.batch_size = batch_size or config.batch_size
+        self.shuffle = (split == "train") if shuffle is None else shuffle
+        self.pad_final_batch = pad_final_batch
+        self._epoch = 0
+
+    def __len__(self):
+        return int(np.ceil(len(self.indices) / self.batch_size))
+
+    def epoch(self, epoch_idx: Optional[int] = None) -> Iterator[SampleBatch]:
+        e = self._epoch if epoch_idx is None else epoch_idx
+        self._epoch = e + 1
+        rng = np.random.default_rng((self.config.seed, e, 0x5eed))
+        order = rng.permutation(len(self.indices)) if self.shuffle \
+            else np.arange(len(self.indices))
+        idx = self.indices[order]
+        for start in range(0, len(idx), self.batch_size):
+            rows = idx[start:start + self.batch_size]
+            if self.pad_final_batch and len(rows) < self.batch_size:
+                fill = np.resize(idx, self.batch_size - len(rows))
+                rows = np.concatenate([rows, fill])
+            yield gather_batch(self.corpus, jnp.asarray(rows.astype(np.int32)))
+
+    def __iter__(self):
+        return self.epoch()
+
+
+class ComparativeDevicePipeline(DevicePipeline):
+    """Paired cancer/WT device pipeline yielding ComparativeBatch."""
+
+    def __init__(self, dataset, indices: np.ndarray, **kw):
+        from immunostruct_tpu.data.dataset import ComparativeDataset
+        assert isinstance(dataset, ComparativeDataset)
+        super().__init__(dataset.cancer, indices, **kw)
+        binary = kw.get("binary", True)
+        full = kw.get("full", True)
+        # WT branch scores against the cancer-side target (collate parity)
+        self.corpus_wt = build_device_corpus(dataset.wt, binary=binary, full=full,
+                                             device=kw.get("device"))
+
+    def epoch(self, epoch_idx: Optional[int] = None):
+        from immunostruct_tpu.structs import ComparativeBatch
+        e = self._epoch if epoch_idx is None else epoch_idx
+        self._epoch = e + 1
+        rng = np.random.default_rng((self.config.seed, e, 0x5eed))
+        order = rng.permutation(len(self.indices)) if self.shuffle \
+            else np.arange(len(self.indices))
+        idx = self.indices[order]
+        for start in range(0, len(idx), self.batch_size):
+            rows = idx[start:start + self.batch_size]
+            if self.pad_final_batch and len(rows) < self.batch_size:
+                fill = np.resize(idx, self.batch_size - len(rows))
+                rows = np.concatenate([rows, fill])
+            rows_j = jnp.asarray(rows.astype(np.int32))
+            cancer = gather_batch(self.corpus, rows_j)
+            wt = gather_batch(self.corpus_wt, rows_j)
+            # targets come from the cancer side (immmunopred_dataloader.py:279-285)
+            wt = SampleBatch(graph=wt.graph, seq_onehot=wt.seq_onehot,
+                             props=wt.props, target=cancer.target,
+                             aux_residue=None)
+            yield ComparativeBatch(cancer=cancer, wt=wt)

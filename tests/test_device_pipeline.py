@@ -1,0 +1,103 @@
+"""Device-resident pipeline: batch equality with the host pipeline and
+training integration."""
+
+import jax
+import numpy as np
+import pytest
+
+from immunostruct_tpu.config import Config
+from immunostruct_tpu.data import synthetic_corpus, ImmunoDataset, BatchPipeline
+from immunostruct_tpu.data.device_pipeline import DevicePipeline
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("devpipe")
+    cfg = Config(batch_size=8, pad_nodes_multiple=4, pad_edges_multiple=16,
+                 compute_dtype="float32", aggregation="scatter")
+    gd, pp, hp = synthetic_corpus(str(root), num_samples=16, seed=71)
+    ds = ImmunoDataset.load(cfg, gd, pp, hp)
+    return cfg, ds
+
+
+def test_batches_match_host_pipeline(setup):
+    cfg, ds = setup
+    idx = np.arange(len(ds))
+    host = BatchPipeline(ds, idx, split="val", binary=True, full=True,
+                         config=cfg, shuffle=False)
+    dev = DevicePipeline(ds, idx, split="val", binary=True, full=True,
+                         config=cfg, shuffle=False, pad_final_batch=False)
+    for hb, db in zip(host.epoch(0), dev.epoch(0)):
+        np.testing.assert_array_equal(np.asarray(hb.seq_onehot),
+                                      np.asarray(db.seq_onehot))
+        np.testing.assert_array_equal(np.asarray(hb.target), np.asarray(db.target))
+        np.testing.assert_array_equal(np.asarray(hb.graph.node_feat),
+                                      np.asarray(db.graph.node_feat))
+        np.testing.assert_array_equal(np.asarray(hb.graph.edge_src),
+                                      np.asarray(db.graph.edge_src))
+        np.testing.assert_array_equal(np.asarray(hb.graph.edge_mask),
+                                      np.asarray(db.graph.edge_mask))
+        np.testing.assert_allclose(np.asarray(hb.graph.coords),
+                                   np.asarray(db.graph.coords), rtol=1e-6)
+
+
+def test_same_shuffle_order_as_host(setup):
+    cfg, ds = setup
+    idx = np.arange(len(ds))
+    host = BatchPipeline(ds, idx, split="train", binary=False, full=True, config=cfg)
+    dev = DevicePipeline(ds, idx, split="train", binary=False, full=True,
+                         config=cfg, pad_final_batch=False)
+    th = np.concatenate([np.asarray(b.target) for b in host.epoch(3)])
+    td = np.concatenate([np.asarray(b.target) for b in dev.epoch(3)])
+    np.testing.assert_array_equal(th, td)
+
+
+def test_trains(setup, tmp_path):
+    from immunostruct_tpu.models import build_model
+    from immunostruct_tpu.procedures.train import Trainer, make_optimizer
+    from immunostruct_tpu.utils.losses import LossConfig
+    from immunostruct_tpu.utils.schedule import constant_lr
+
+    cfg, ds = setup
+    idx = np.arange(len(ds))
+    dev = DevicePipeline(ds, idx, split="train", binary=True, full=True, config=cfg)
+    vae_dim = ds.seq_full.shape[1] * 21
+    spec, params = build_model("HybridModel", vae_dim, jax.random.key(0))
+    trainer = Trainer(spec, LossConfig(vae_dim, 1.0, sequence=True), binary=True,
+                      optimizer=make_optimizer("adam", constant_lr(1e-3)),
+                      aggregation="scatter", donate=False)
+    state = trainer.init_state(params)
+    state, hist = trainer.fit(state, dev, dev, 1, jax.random.key(1), verbose=False)
+    assert np.isfinite(hist["train_loss"]).all()
+
+
+def test_comparative_device_matches_host(tmp_path):
+    from immunostruct_tpu.data import synthetic_comparative_corpus, ComparativeDataset, ComparativePipeline
+    from immunostruct_tpu.data.device_pipeline import ComparativeDevicePipeline
+    cfg = Config(batch_size=8, pad_nodes_multiple=4, pad_edges_multiple=16,
+                 compute_dtype="float32", aggregation="scatter")
+    dc, dw, pc, pw, hp = synthetic_comparative_corpus(str(tmp_path), num_samples=10, seed=72)
+    ds = ComparativeDataset.load(cfg, dc, dw, pc, pw, hp)
+    idx = np.arange(len(ds))
+    host = ComparativePipeline(ds, idx, split="val", binary=True, full=True,
+                               config=cfg, shuffle=False)
+    dev = ComparativeDevicePipeline(ds, idx, split="val", binary=True, full=True,
+                                    config=cfg, shuffle=False, pad_final_batch=False)
+    for hb, db in zip(host.epoch(0), dev.epoch(0)):
+        np.testing.assert_array_equal(np.asarray(hb.cancer.target),
+                                      np.asarray(db.cancer.target))
+        np.testing.assert_array_equal(np.asarray(hb.wt.target),
+                                      np.asarray(db.wt.target))
+        np.testing.assert_array_equal(np.asarray(hb.wt.seq_onehot),
+                                      np.asarray(db.wt.seq_onehot))
+        np.testing.assert_array_equal(np.asarray(hb.cancer.graph.node_feat),
+                                      np.asarray(db.cancer.graph.node_feat))
+
+
+def test_rejects_augmentation_flags(setup):
+    cfg, ds = setup
+    import dataclasses
+    cfg2 = dataclasses.replace(cfg, sequence_pad_count=2)
+    with pytest.raises(AssertionError):
+        DevicePipeline(ds, np.arange(4), split="train", binary=True, full=True,
+                       config=cfg2)
