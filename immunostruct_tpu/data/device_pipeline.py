@@ -112,7 +112,11 @@ class DevicePipeline:
                  split: str, binary: bool, full: bool, config,
                  ssl: bool = False, shuffle: Optional[bool] = None,
                  batch_size: Optional[int] = None, extend_to: int = 0,
-                 pad_final_batch: bool = True, device=None):
+                 pad_final_batch: Optional[bool] = None, device=None):
+        # padding duplicates samples, which is fine for SGD but would bias
+        # eval metrics: default on for training splits only
+        if pad_final_batch is None:
+            pad_final_batch = (split == "train")
         assert not ssl, "DevicePipeline does not support SSL masking; use BatchPipeline"
         assert config.sequence_pad_count == 0 and config.structure_pad_count == 0, \
             "DevicePipeline does not support masking augmentation"
