@@ -134,6 +134,12 @@ class ImmunoDataset:
         # two-sided join (preprocess.py:147-173)
         corpus_index = corpus.index()
         rows = [(pair, v) for pair, v in name_mapper.items() if v[1] in corpus_index]
+        if not rows:
+            raise ValueError(
+                "sequence/graph join produced 0 rows: no pep_pair chain key "
+                "matches any graph name. Check that the graph directory and "
+                "the property/HLA tables belong to the same corpus (graph "
+                f"count={len(corpus)}, table rows={len(name_mapper)}).")
         used_keys = sorted({v[1] for _, v in rows}, key=lambda k: corpus_index[k])
         key_to_new = {k: i for i, k in enumerate(used_keys)}
         sub = corpus.subset([corpus_index[k] for k in used_keys])
