@@ -1,0 +1,121 @@
+"""Device-side augmentation: the host pipeline's train-time transforms as a
+jitted function, extending the HBM-resident pipeline to SSL/augmented runs.
+
+Implements the same transforms as data/pipeline.py with jax PRNG:
+  - random QR rotation of coordinates (data/utils.py:148-155 semantics);
+  - SSL single-residue masking: one random real residue's one-hot set to
+    all-ones, its class returned (immmunopred_dataloader.py:104-115);
+  - structure masking: k random node rows zeroed unless already SSL-masked
+    (immmunopred_dataloader.py:92-102);
+  - sequence masking: k random positions in the HLA region set to the 'J'
+    one-hot (immmunopred_dataloader.py:78-89).
+
+Randomness streams differ from the host pipeline (jax PRNG vs numpy), so an
+augmented device run is statistically — not bitwise — equivalent to a host
+run. Distinct-position sampling uses Gumbel top-k.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from immunostruct_tpu.structs import GraphBatch, SampleBatch
+
+
+def random_rotations(key: jax.Array, batch: int) -> jax.Array:
+    """[B, 3, 3] QR-orthogonalized gaussian matrices."""
+    m = jax.random.normal(key, (batch, 3, 3))
+    q, _ = jnp.linalg.qr(m)
+    return q
+
+
+def _topk_positions(key: jax.Array, batch: int, length: int, k: int):
+    """[B, k] distinct positions per row via Gumbel top-k."""
+    noise = jax.random.uniform(key, (batch, length))
+    _, idx = jax.lax.top_k(noise, k)
+    return idx
+
+
+def ssl_mask_single(key: jax.Array, node_onehot: jax.Array):
+    """Mask one random real residue per graph as all-ones; return classes.
+
+    Real residues have a one-hot row sum of exactly 1; padded rows sum 0.
+    Returns (masked_onehot, classes [B] int32; 0 when a graph has no real
+    residue, matching the host fallback).
+    """
+    b, n, c = node_onehot.shape
+    real = node_onehot.sum(-1) == 1.0                       # [B, N]
+    gumbel = jax.random.gumbel(key, (b, n))
+    scores = jnp.where(real, gumbel, -jnp.inf)
+    pick = jnp.argmax(scores, axis=1)                       # [B]
+    classes = jnp.take_along_axis(
+        node_onehot.argmax(-1), pick[:, None], axis=1)[:, 0].astype(jnp.int32)
+    any_real = real.any(axis=1)
+    classes = jnp.where(any_real, classes, 0)
+    row_sel = jax.nn.one_hot(pick, n, dtype=node_onehot.dtype)  # [B, N]
+    row_sel = row_sel * any_real[:, None].astype(node_onehot.dtype)
+    masked = jnp.where(row_sel[..., None] > 0, 1.0, node_onehot)
+    return masked, classes
+
+
+def structure_mask(key: jax.Array, node_onehot: jax.Array, count: int):
+    """Zero `count` random node rows unless already SSL-masked (sum > 1)."""
+    if count <= 0:
+        return node_onehot
+    b, n, _ = node_onehot.shape
+    cols = _topk_positions(key, b, n, count)                # [B, k]
+    sel = jnp.zeros((b, n), bool).at[jnp.arange(b)[:, None], cols].set(True)
+    eligible = node_onehot.sum(-1) <= 1.0
+    zero_rows = sel & eligible
+    return jnp.where(zero_rows[..., None], 0.0, node_onehot)
+
+
+def sequence_mask(key: jax.Array, seq_onehot: jax.Array, maskable_len: int,
+                  count: int):
+    """Set `count` random positions in [0, maskable_len) to the 'J' one-hot."""
+    if count <= 0 or maskable_len <= 0:
+        return seq_onehot
+    b, l, a = seq_onehot.shape
+    cols = _topk_positions(key, b, maskable_len, count)     # [B, k]
+    sel = jnp.zeros((b, l), bool).at[jnp.arange(b)[:, None], cols].set(True)
+    pad = jnp.zeros((a,), seq_onehot.dtype).at[a - 1].set(1.0)
+    return jnp.where(sel[..., None], pad, seq_onehot)
+
+
+@partial(jax.jit, static_argnames=("ssl", "structure_pad_count",
+                                   "sequence_pad_count", "maskable_len",
+                                   "rotate"))
+def augment_batch(batch: SampleBatch, key: jax.Array, *, ssl: bool = False,
+                  structure_pad_count: int = 0, sequence_pad_count: int = 0,
+                  maskable_len: int = 0, rotate: bool = False) -> SampleBatch:
+    """Apply the train-time transforms on device. Returns a new batch whose
+    aux_residue carries the SSL class (or the input's aux when ssl=False)."""
+    k_rot, k_ssl, k_struct, k_seq = jax.random.split(key, 4)
+    g = batch.graph
+    coords = g.coords
+    onehot = g.node_feat
+    aux = batch.aux_residue
+
+    if rotate:
+        q = random_rotations(k_rot, coords.shape[0]).astype(coords.dtype)
+        coords = jnp.einsum("bnc,bcd->bnd", coords, q)
+    if ssl:
+        onehot, classes = ssl_mask_single(k_ssl, onehot)
+        aux = classes
+    if structure_pad_count > 0:
+        onehot = structure_mask(k_struct, onehot, structure_pad_count)
+
+    seq = batch.seq_onehot
+    if sequence_pad_count > 0:
+        seq = sequence_mask(k_seq, seq, maskable_len, sequence_pad_count)
+
+    graph = GraphBatch(node_feat=onehot, coords=coords, edge_src=g.edge_src,
+                       edge_dst=g.edge_dst, edge_feat=g.edge_feat,
+                       edge_mask=g.edge_mask, node_mask=g.node_mask,
+                       num_nodes=g.num_nodes)
+    return SampleBatch(graph=graph, seq_onehot=seq, props=batch.props,
+                       target=batch.target, aux_residue=aux)

@@ -112,16 +112,24 @@ class DevicePipeline:
                  split: str, binary: bool, full: bool, config,
                  ssl: bool = False, shuffle: Optional[bool] = None,
                  batch_size: Optional[int] = None, extend_to: int = 0,
-                 pad_final_batch: Optional[bool] = None, device=None):
+                 pad_final_batch: Optional[bool] = None, device=None,
+                 device_augment: bool = False):
         # padding duplicates samples, which is fine for SGD but would bias
         # eval metrics: default on for training splits only
         if pad_final_batch is None:
             pad_final_batch = (split == "train")
-        assert not ssl, "DevicePipeline does not support SSL masking; use BatchPipeline"
-        assert config.sequence_pad_count == 0 and config.structure_pad_count == 0, \
-            "DevicePipeline does not support masking augmentation"
-        assert not config.force_graph_augmentation, \
-            "DevicePipeline does not support rotation augmentation"
+        wants_augment = (ssl or config.sequence_pad_count > 0
+                         or config.structure_pad_count > 0
+                         or config.force_graph_augmentation)
+        if wants_augment and not device_augment:
+            raise ValueError(
+                "this configuration needs train-time augmentation; pass "
+                "device_augment=True (jax-PRNG transforms on device) or use "
+                "the host BatchPipeline")
+        self.ssl = ssl
+        self.device_augment = device_augment and wants_augment
+        self.maskable_len = dataset.seq_full.shape[1] - dataset.seq_pep.shape[1]
+        self.full = full
         self.corpus = build_device_corpus(dataset, binary=binary, full=full,
                                           device=device)
         self.indices = np.asarray(indices, np.int64)
@@ -129,6 +137,7 @@ class DevicePipeline:
             reps = int(np.ceil(extend_to / len(self.indices)))
             self.indices = np.tile(self.indices, reps)[:extend_to]
         self.config = config
+        self.split = split
         self.batch_size = batch_size or config.batch_size
         self.shuffle = (split == "train") if shuffle is None else shuffle
         self.pad_final_batch = pad_final_batch
@@ -137,6 +146,31 @@ class DevicePipeline:
     def __len__(self):
         return int(np.ceil(len(self.indices) / self.batch_size))
 
+    def _maybe_augment(self, batch: SampleBatch, epoch: int, step: int) -> SampleBatch:
+        train = self.split == "train"
+        if not train:
+            if self.ssl:
+                # val/test SSL passes the no-op sentinel (train_SSL.py:46)
+                return SampleBatch(graph=batch.graph, seq_onehot=batch.seq_onehot,
+                                   props=batch.props, target=batch.target,
+                                   aux_residue=jnp.full(
+                                       (batch.target.shape[0],), -1, jnp.int32))
+            return batch
+        if not self.device_augment:
+            return batch
+        from immunostruct_tpu.data.device_augment import augment_batch
+        key = jax.random.fold_in(jax.random.fold_in(
+            jax.random.key(self.config.seed), epoch), step)
+        # graph transforms reach the model on the SSL path only unless forced
+        # (host-pipeline/reference parity; see data/pipeline.py notes)
+        graph_augment = self.ssl or self.config.force_graph_augmentation
+        return augment_batch(
+            batch, key, ssl=self.ssl,
+            structure_pad_count=self.config.structure_pad_count if graph_augment else 0,
+            sequence_pad_count=self.config.sequence_pad_count if self.full else 0,
+            maskable_len=self.maskable_len,
+            rotate=graph_augment)
+
     def epoch(self, epoch_idx: Optional[int] = None) -> Iterator[SampleBatch]:
         e = self._epoch if epoch_idx is None else epoch_idx
         self._epoch = e + 1
@@ -144,12 +178,13 @@ class DevicePipeline:
         order = rng.permutation(len(self.indices)) if self.shuffle \
             else np.arange(len(self.indices))
         idx = self.indices[order]
-        for start in range(0, len(idx), self.batch_size):
+        for step, start in enumerate(range(0, len(idx), self.batch_size)):
             rows = idx[start:start + self.batch_size]
             if self.pad_final_batch and len(rows) < self.batch_size:
                 fill = np.resize(idx, self.batch_size - len(rows))
                 rows = np.concatenate([rows, fill])
-            yield gather_batch(self.corpus, jnp.asarray(rows.astype(np.int32)))
+            batch = gather_batch(self.corpus, jnp.asarray(rows.astype(np.int32)))
+            yield self._maybe_augment(batch, e, step)
 
     def __iter__(self):
         return self.epoch()

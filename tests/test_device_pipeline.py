@@ -98,6 +98,6 @@ def test_rejects_augmentation_flags(setup):
     cfg, ds = setup
     import dataclasses
     cfg2 = dataclasses.replace(cfg, sequence_pad_count=2)
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         DevicePipeline(ds, np.arange(4), split="train", binary=True, full=True,
-                       config=cfg2)
+                       config=cfg2)  # augmentation requires device_augment=True
