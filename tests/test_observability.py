@@ -1,0 +1,42 @@
+"""Profiling timer and metric-logger sinks."""
+
+import json
+import time
+
+from immunostruct_tpu.utils.profiling import StepTimer
+from immunostruct_tpu.utils.logging import MetricLogger, stats_to_wandb
+
+
+class TestStepTimer:
+    def test_warmup_skipped_and_stats(self):
+        t = StepTimer(warmup=2)
+        for _ in range(5):
+            with t.step():
+                time.sleep(0.002)
+        s = t.stats()
+        assert s["steps"] == 3  # 5 - 2 warmup
+        assert s["mean_s"] > 0.001
+        assert s["steps_per_sec"] > 0
+
+    def test_empty(self):
+        assert StepTimer().stats() == {"steps": 0}
+
+
+class TestMetricLogger:
+    def test_jsonl_sink(self, tmp_path):
+        path = str(tmp_path / "m.jsonl")
+        logger = MetricLogger(jsonl_path=path)
+        logger.log({"epoch": 0, "train_loss": 1.5})
+        logger.log({"epoch": 1, "train_loss": 1.2})
+        logger.finish()
+        lines = [json.loads(l) for l in open(path)]
+        assert lines[0]["train_loss"] == 1.5
+        assert lines[1]["epoch"] == 1
+
+    def test_stats_layout(self):
+        stats = {"roc_auc": 0.9, "pr_auc": 0.8, "accuracy": 0.7,
+                 "os_p_value": 0.04}
+        out = stats_to_wandb("Test", stats)
+        assert out["Test ROC AUC"] == 0.9
+        assert out["Test Accuracy @0.5"] == 0.7
+        assert out["OS p-value"] == 0.04
