@@ -27,10 +27,22 @@ from immunostruct_tpu.structs import GraphBatch, SampleBatch
 
 
 def random_rotations(key: jax.Array, batch: int) -> jax.Array:
-    """[B, 3, 3] QR-orthogonalized gaussian matrices."""
-    m = jax.random.normal(key, (batch, 3, 3))
-    q, _ = jnp.linalg.qr(m)
-    return q
+    """[B, 3, 3] Haar-uniform rotations via normalized quaternions.
+
+    Pure elementwise arithmetic (no QR/SVD custom calls, which some TPU
+    toolchains cannot lower); a normalized 4D gaussian is a uniform
+    quaternion, giving exactly uniform SO(3) — the same distribution as the
+    host pipeline's QR-of-gaussian up to reflection handling.
+    """
+    q = jax.random.normal(key, (batch, 4))
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    r = jnp.stack([
+        1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w),
+        2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w),
+        2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y),
+    ], axis=-1)
+    return r.reshape(batch, 3, 3)
 
 
 def _topk_positions(key: jax.Array, batch: int, length: int, k: int):
