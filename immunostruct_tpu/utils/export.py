@@ -9,7 +9,6 @@ production-serving path the reference lacks.
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
