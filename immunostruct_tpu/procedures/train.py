@@ -72,7 +72,8 @@ class Trainer:
                  optimizer: optax.GradientTransformation,
                  coeff_contrastive: float = 0.0,
                  aggregation: str = "auto", compute_dtype=jnp.float32,
-                 donate: bool = True, mesh=None, shard_batch=None):
+                 donate: bool = True, mesh=None, shard_batch=None,
+                 grad_accum_steps: int = 1):
         self.spec = spec
         self.loss_cfg = loss_cfg
         self.binary = binary
@@ -83,6 +84,14 @@ class Trainer:
         self.loss_fn = make_loss_fn(loss_cfg, binary)
         self.mesh = mesh
         self.shard_batch = shard_batch
+        # microbatched gradient accumulation: the batch's leading axis is
+        # split into grad_accum_steps chunks scanned sequentially, averaging
+        # grads. Keeps the per-chunk working set at the measured v5e sweet
+        # spot (B=128; see docs/DESIGN.md section 2) while training at larger
+        # effective batch sizes. Note: loss terms that mix examples across
+        # the full batch (the contrastive pair-similarity/batchnorm) see the
+        # microbatch, not the global batch.
+        self.grad_accum_steps = grad_accum_steps
 
         donate_args = (0,) if donate else ()
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=donate_args)
@@ -129,10 +138,34 @@ class Trainer:
                             node_logits=out.node_logits, residue=batch.aux_residue)
 
     # -- steps ---------------------------------------------------------------
+    def _loss_and_grads(self, params, batch, rng):
+        k = self.grad_accum_steps
+        if k <= 1:
+            return jax.value_and_grad(self._batch_loss)(params, batch, rng, False)
+
+        def chunked(x):
+            return jax.tree.map(
+                lambda a: a.reshape((k, a.shape[0] // k) + a.shape[1:]), x)
+
+        micro = chunked(batch)
+
+        def body(carry, inp):
+            loss_acc, grads_acc = carry
+            mb, i = inp
+            loss, grads = jax.value_and_grad(self._batch_loss)(
+                params, mb, jax.random.fold_in(rng, i), False)
+            return (loss_acc + loss,
+                    jax.tree.map(jnp.add, grads_acc, grads)), None
+
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        (loss_sum, grads_sum), _ = jax.lax.scan(
+            body, (jnp.zeros(()), zeros), (micro, jnp.arange(k)))
+        scale = 1.0 / k
+        return loss_sum * scale, jax.tree.map(lambda g: g * scale, grads_sum)
+
     def _train_step_impl(self, state: TrainState, batch, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
-        loss, grads = jax.value_and_grad(self._batch_loss)(
-            state.params, batch, rng, False)
+        loss, grads = self._loss_and_grads(state.params, batch, rng)
         updates, opt_state = self.optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params=params, opt_state=opt_state,

@@ -1,0 +1,80 @@
+"""Gradient accumulation: k microbatches average to the full-batch gradient."""
+
+import jax
+import numpy as np
+import pytest
+
+from immunostruct_tpu.models import build_model
+from immunostruct_tpu.procedures.train import Trainer, make_optimizer
+from immunostruct_tpu.utils.losses import LossConfig
+from immunostruct_tpu.utils.schedule import constant_lr
+from immunostruct_tpu.structs import SampleBatch
+from tests.test_models import tiny_graph_batch
+
+
+def _batch(rng, b, l=12):
+    import jax.numpy as jnp
+    graph = tiny_graph_batch(rng, b=b)
+    return SampleBatch(
+        graph=graph,
+        seq_onehot=jnp.asarray(rng.random((b, l, 21)).astype(np.float32)),
+        props=jnp.asarray(rng.random((b, 2)).astype(np.float32)),
+        target=jnp.asarray((rng.random(b) > 0.5).astype(np.float32)),
+        aux_residue=None)
+
+
+def test_accum_matches_mean_of_microbatch_grads(rng):
+    """With a per-microbatch-mean loss, accumulated grads equal the mean of
+    the per-microbatch grads (and the update runs identically)."""
+    b, k = 8, 2
+    vae_dim = 12 * 21
+    spec, params = build_model("SequenceFpModel", vae_dim, jax.random.key(0))
+    loss_cfg = LossConfig(vae_dim, 1.0, sequence=True)
+    opt = make_optimizer("adam", constant_lr(1e-3))
+
+    plain = Trainer(spec, loss_cfg, binary=True, optimizer=opt,
+                    aggregation="scatter", donate=False)
+    accum = Trainer(spec, loss_cfg, binary=True, optimizer=opt,
+                    aggregation="scatter", donate=False, grad_accum_steps=k)
+
+    batch = _batch(rng, b)
+    state_a = accum.init_state(params)
+    state_a, loss_a = accum._train_step(state_a, batch, jax.random.key(3))
+
+    # manual reference: average value_and_grad over the two microbatches with
+    # the same per-chunk rng folding
+    import jax.numpy as jnp
+    micro = jax.tree.map(lambda a: a.reshape((k, b // k) + a.shape[1:]), batch)
+    rng0 = jax.random.fold_in(jax.random.key(3), 0)  # state.step == 0
+    losses, grads = [], []
+    for i in range(k):
+        mb = jax.tree.map(lambda a: a[i], micro)
+        l_, g_ = jax.value_and_grad(plain._batch_loss)(
+            params, mb, jax.random.fold_in(rng0, i), False)
+        losses.append(l_)
+        grads.append(g_)
+    want_loss = float(sum(losses) / k)
+    want_grads = jax.tree.map(lambda *g: sum(g) / k, *grads)
+
+    assert float(loss_a) == pytest.approx(want_loss, rel=1e-5)
+    # apply the same update manually and compare params
+    opt_state = opt.init(params)
+    updates, _ = opt.update(want_grads, opt_state, params)
+    import optax
+    want_params = optax.apply_updates(params, updates)
+    for a, w in zip(jax.tree.leaves(state_a.params), jax.tree.leaves(want_params)):
+        # scan accumulation order vs python-sum: pure float reassociation
+        np.testing.assert_allclose(np.asarray(a), np.asarray(w), rtol=1e-4, atol=5e-5)
+
+
+def test_accum_trains_hybrid(rng):
+    b, k = 8, 4
+    vae_dim = 12 * 21
+    spec, params = build_model("HybridModelv2", vae_dim, jax.random.key(1))
+    trainer = Trainer(spec, LossConfig(vae_dim, 1.0, sequence=True), binary=True,
+                      optimizer=make_optimizer("adam", constant_lr(1e-3)),
+                      aggregation="scatter", donate=False, grad_accum_steps=k)
+    state = trainer.init_state(params)
+    batch = _batch(rng, b)
+    state, loss = trainer._train_step(state, batch, jax.random.key(4))
+    assert np.isfinite(float(loss))
