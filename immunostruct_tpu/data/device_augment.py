@@ -73,6 +73,45 @@ def ssl_mask_single(key: jax.Array, node_onehot: jax.Array):
     return masked, classes
 
 
+def ssl_mask_paired(key: jax.Array, onehot_c: jax.Array, onehot_w: jax.Array):
+    """Mask same-class residues in a cancer/WT pair; return the class.
+
+    Host semantics (immmunopred_dataloader.py:253-271): pick a residue class
+    present in BOTH graphs, mark one random residue of that class in each as
+    all-ones. When no common class exists, neither graph is masked and the
+    class is 0 (the host fallback).
+    """
+    k_cls, k_c, k_w = jax.random.split(key, 3)
+    b, n, c = onehot_c.shape
+    real_c = (onehot_c.sum(-1) == 1.0)
+    real_w = (onehot_w.sum(-1) == 1.0)
+    cls_c = onehot_c.argmax(-1)
+    cls_w = onehot_w.argmax(-1)
+
+    def present(cls_idx, real):
+        # [B, C] bool: class k has at least one real residue
+        onehot_cls = jax.nn.one_hot(cls_idx, c, dtype=jnp.float32)
+        return (onehot_cls * real[..., None]).sum(1) > 0
+
+    common = present(cls_c, real_c) & present(cls_w, real_w)    # [B, C]
+    gumbel = jax.random.gumbel(k_cls, (b, c))
+    cls_pick = jnp.argmax(jnp.where(common, gumbel, -jnp.inf), axis=1)
+    has_common = common.any(axis=1)
+    classes = jnp.where(has_common, cls_pick, 0).astype(jnp.int32)
+
+    def mask_one(key, onehot, real, cls_idx, target_cls, enable):
+        ok = real & (cls_idx == target_cls[:, None])
+        g = jax.random.gumbel(key, (b, n))
+        pick = jnp.argmax(jnp.where(ok, g, -jnp.inf), axis=1)
+        row = jax.nn.one_hot(pick, n, dtype=onehot.dtype)
+        row = row * (enable & ok.any(axis=1))[:, None].astype(onehot.dtype)
+        return jnp.where(row[..., None] > 0, 1.0, onehot)
+
+    masked_c = mask_one(k_c, onehot_c, real_c, cls_c, classes, has_common)
+    masked_w = mask_one(k_w, onehot_w, real_w, cls_w, classes, has_common)
+    return masked_c, masked_w, classes
+
+
 def structure_mask(key: jax.Array, node_onehot: jax.Array, count: int):
     """Zero `count` random node rows unless already SSL-masked (sum > 1)."""
     if count <= 0:
@@ -95,6 +134,56 @@ def sequence_mask(key: jax.Array, seq_onehot: jax.Array, maskable_len: int,
     sel = jnp.zeros((b, l), bool).at[jnp.arange(b)[:, None], cols].set(True)
     pad = jnp.zeros((a,), seq_onehot.dtype).at[a - 1].set(1.0)
     return jnp.where(sel[..., None], pad, seq_onehot)
+
+
+@partial(jax.jit, static_argnames=("ssl", "structure_pad_count",
+                                   "sequence_pad_count", "maskable_len",
+                                   "rotate"))
+def augment_comparative(batch, key: jax.Array, *, ssl: bool = False,
+                        structure_pad_count: int = 0,
+                        sequence_pad_count: int = 0, maskable_len: int = 0,
+                        rotate: bool = False):
+    """Paired transforms: independent rotations per branch
+    (util_dataloader.py:38-42), same-class SSL masking, same sequence mask
+    positions in both branches (immmunopred_dataloader.py:216-231)."""
+    from immunostruct_tpu.structs import ComparativeBatch
+    c, w = batch.cancer, batch.wt
+    keys = jax.random.split(key, 6)
+    onehot_c, onehot_w = c.graph.node_feat, w.graph.node_feat
+    coords_c, coords_w = c.graph.coords, w.graph.coords
+    aux = c.aux_residue
+
+    if rotate:
+        qc = random_rotations(keys[0], coords_c.shape[0]).astype(coords_c.dtype)
+        qw = random_rotations(keys[1], coords_w.shape[0]).astype(coords_w.dtype)
+        coords_c = jnp.einsum("bnc,bcd->bnd", coords_c, qc)
+        coords_w = jnp.einsum("bnc,bcd->bnd", coords_w, qw)
+    if ssl:
+        onehot_c, onehot_w, aux = ssl_mask_paired(keys[2], onehot_c, onehot_w)
+    if structure_pad_count > 0:
+        onehot_c = structure_mask(keys[3], onehot_c, structure_pad_count)
+        onehot_w = structure_mask(keys[4], onehot_w, structure_pad_count)
+
+    seq_c, seq_w = c.seq_onehot, w.seq_onehot
+    if sequence_pad_count > 0 and maskable_len > 0:
+        b_, l_, a_ = seq_c.shape
+        cols = _topk_positions(keys[5], b_, maskable_len, sequence_pad_count)
+        sel = jnp.zeros((b_, l_), bool).at[jnp.arange(b_)[:, None], cols].set(True)
+        pad = jnp.zeros((a_,), seq_c.dtype).at[a_ - 1].set(1.0)
+        seq_c = jnp.where(sel[..., None], pad, seq_c)
+        seq_w = jnp.where(sel[..., None], pad, seq_w)
+
+    def rebuild(s, onehot, coords, seq):
+        g = s.graph
+        graph = GraphBatch(node_feat=onehot, coords=coords, edge_src=g.edge_src,
+                           edge_dst=g.edge_dst, edge_feat=g.edge_feat,
+                           edge_mask=g.edge_mask, node_mask=g.node_mask,
+                           num_nodes=g.num_nodes)
+        return SampleBatch(graph=graph, seq_onehot=seq, props=s.props,
+                           target=s.target, aux_residue=aux)
+
+    return ComparativeBatch(cancer=rebuild(c, onehot_c, coords_c, seq_c),
+                            wt=rebuild(w, onehot_w, coords_w, seq_w))
 
 
 @partial(jax.jit, static_argnames=("ssl", "structure_pad_count",

@@ -203,6 +203,34 @@ class ComparativeDevicePipeline(DevicePipeline):
         self.corpus_wt = build_device_corpus(dataset.wt, binary=binary, full=full,
                                              device=kw.get("device"))
 
+    def _maybe_augment_pair(self, batch, epoch: int, step: int):
+        from immunostruct_tpu.structs import ComparativeBatch
+        train = self.split == "train"
+        if not train:
+            if self.ssl:
+                sentinel = jnp.full((batch.cancer.target.shape[0],), -1, jnp.int32)
+
+                def with_aux(s):
+                    return SampleBatch(graph=s.graph, seq_onehot=s.seq_onehot,
+                                       props=s.props, target=s.target,
+                                       aux_residue=sentinel)
+
+                return ComparativeBatch(cancer=with_aux(batch.cancer),
+                                        wt=with_aux(batch.wt))
+            return batch
+        if not self.device_augment:
+            return batch
+        from immunostruct_tpu.data.device_augment import augment_comparative
+        key = jax.random.fold_in(jax.random.fold_in(
+            jax.random.key(self.config.seed), epoch), step)
+        graph_augment = self.ssl or self.config.force_graph_augmentation
+        return augment_comparative(
+            batch, key, ssl=self.ssl,
+            structure_pad_count=self.config.structure_pad_count if graph_augment else 0,
+            sequence_pad_count=self.config.sequence_pad_count if self.full else 0,
+            maskable_len=self.maskable_len,
+            rotate=graph_augment)
+
     def epoch(self, epoch_idx: Optional[int] = None):
         from immunostruct_tpu.structs import ComparativeBatch
         e = self._epoch if epoch_idx is None else epoch_idx
@@ -211,7 +239,7 @@ class ComparativeDevicePipeline(DevicePipeline):
         order = rng.permutation(len(self.indices)) if self.shuffle \
             else np.arange(len(self.indices))
         idx = self.indices[order]
-        for start in range(0, len(idx), self.batch_size):
+        for step, start in enumerate(range(0, len(idx), self.batch_size)):
             rows = idx[start:start + self.batch_size]
             if self.pad_final_batch and len(rows) < self.batch_size:
                 fill = np.resize(idx, self.batch_size - len(rows))
@@ -223,4 +251,5 @@ class ComparativeDevicePipeline(DevicePipeline):
             wt = SampleBatch(graph=wt.graph, seq_onehot=wt.seq_onehot,
                              props=wt.props, target=cancer.target,
                              aux_residue=None)
-            yield ComparativeBatch(cancer=cancer, wt=wt)
+            yield self._maybe_augment_pair(
+                ComparativeBatch(cancer=cancer, wt=wt), e, step)

@@ -83,6 +83,57 @@ def test_device_pipeline_ssl(tmp_path):
     assert (np.asarray(bv.aux_residue) == -1).all()
 
 
+def test_ssl_mask_paired_same_class(rng):
+    from immunostruct_tpu.data.device_augment import ssl_mask_paired
+    b, n = 3, 8
+    oc = np.zeros((b, n, 20), np.float32)
+    ow = np.zeros((b, n, 20), np.float32)
+    for i in range(b):
+        oc[i, np.arange(6), rng.integers(0, 5, 6)] = 1.0
+        ow[i, np.arange(6), rng.integers(0, 5, 6)] = 1.0
+    mc, mw, cls = ssl_mask_paired(jax.random.key(5), jnp.asarray(oc), jnp.asarray(ow))
+    mc, mw = np.asarray(mc), np.asarray(mw)
+    for i in range(b):
+        pos_c = np.nonzero(mc[i].sum(-1) == 20)[0]
+        pos_w = np.nonzero(mw[i].sum(-1) == 20)[0]
+        if len(pos_c):  # common class existed
+            assert len(pos_c) == 1 and len(pos_w) == 1
+            assert int(oc[i, pos_c[0]].argmax()) == int(cls[i])
+            assert int(ow[i, pos_w[0]].argmax()) == int(cls[i])
+
+
+def test_ssl_mask_paired_no_common_class(rng):
+    from immunostruct_tpu.data.device_augment import ssl_mask_paired
+    oc = np.zeros((1, 4, 20), np.float32)
+    ow = np.zeros((1, 4, 20), np.float32)
+    oc[0, :, 0] = 1.0   # all class 0
+    ow[0, :, 5] = 1.0   # all class 5 -> no overlap
+    mc, mw, cls = ssl_mask_paired(jax.random.key(6), jnp.asarray(oc), jnp.asarray(ow))
+    assert (np.asarray(mc).sum(-1) <= 1).all()  # nothing masked
+    assert (np.asarray(mw).sum(-1) <= 1).all()
+    assert int(cls[0]) == 0  # host fallback class
+
+
+def test_comparative_device_ssl_pipeline(tmp_path):
+    from immunostruct_tpu.config import Config
+    from immunostruct_tpu.data import synthetic_comparative_corpus, ComparativeDataset
+    from immunostruct_tpu.data.device_pipeline import ComparativeDevicePipeline
+    cfg = Config(batch_size=8, pad_nodes_multiple=4, pad_edges_multiple=16,
+                 compute_dtype="float32", aggregation="scatter")
+    dc, dw, pc, pw, hp = synthetic_comparative_corpus(str(tmp_path), num_samples=10, seed=93)
+    ds = ComparativeDataset.load(cfg, dc, dw, pc, pw, hp)
+    pipe = ComparativeDevicePipeline(ds, np.arange(len(ds)), split="train",
+                                     binary=False, full=True, config=cfg,
+                                     ssl=True, device_augment=True)
+    b = next(iter(pipe.epoch(0)))
+    nc = np.asarray(b.cancer.graph.node_feat)
+    nw = np.asarray(b.wt.graph.node_feat)
+    assert ((nc.sum(-1) == 20).sum(-1) <= 1).all()
+    assert ((nw.sum(-1) == 20).sum(-1) <= 1).all()
+    aux = np.asarray(b.cancer.aux_residue)
+    assert ((aux >= 0) & (aux < 20)).all()
+
+
 def test_augment_batch_rotation_preserves_distances(tmp_path, rng):
     from immunostruct_tpu.config import Config
     from immunostruct_tpu.data import synthetic_corpus, ImmunoDataset
