@@ -1,0 +1,75 @@
+"""Small coverage gaps: tile picking, aggregation auto-resolution,
+multi-host index sharding, distributed initialize no-op, config paths."""
+
+import jax
+import numpy as np
+import pytest
+
+from immunostruct_tpu.ops.pallas_segment import _pick_tile
+from immunostruct_tpu.parallel.mesh import (
+    shard_indices_for_process, initialize_distributed,
+)
+from immunostruct_tpu.config import Config, update_paths, sequence_input_dim
+
+
+class TestTilePicking:
+    def test_prefers_largest_divisor(self):
+        assert _pick_tile(2560) == 512
+        assert _pick_tile(256) == 256
+        assert _pick_tile(384) == 128
+        assert _pick_tile(100) == 0  # not 128-aligned -> caller falls back
+
+
+class TestHostSharding:
+    def test_even_split(self):
+        idx = np.arange(16)
+        shards = [shard_indices_for_process(idx, i, 4) for i in range(4)]
+        assert all(len(s) == 4 for s in shards)
+        assert sorted(np.concatenate(shards).tolist()) == list(range(16))
+
+    def test_uneven_drops_remainder(self):
+        idx = np.arange(10)
+        shards = [shard_indices_for_process(idx, i, 4) for i in range(4)]
+        assert all(len(s) == 2 for s in shards)
+
+    def test_single_process_identity(self):
+        idx = np.arange(7)
+        np.testing.assert_array_equal(shard_indices_for_process(idx, 0, 1), idx)
+
+    def test_initialize_noop_single_process(self):
+        # single process without coordinator env: must not raise
+        initialize_distributed()
+
+
+class TestConfig:
+    def test_root_expansion(self):
+        cfg = Config(model_save_dir="$ROOT/results/")
+        update_paths(cfg, root="/repo")
+        assert cfg.model_save_dir == "/repo/results/"
+
+    def test_derive_paths_encodes_hyperparams(self):
+        cfg = Config(model="HybridModelv2", seed=3)
+        cfg.derive_paths()
+        assert "HybridModelv2" in cfg.model_save_path_pretrain
+        assert "seed_3" in cfg.model_save_path_finetune
+        assert cfg.model_save_path_pretrain.endswith("_pretrain.ckpt")
+
+    def test_sequence_input_dim(self):
+        assert sequence_input_dim(283, 11, True) == 283 * 21
+        assert sequence_input_dim(283, 11, False) == 11 * 21
+
+
+class TestEGNNAutoResolution:
+    def test_auto_on_cpu_is_scatter(self, rng):
+        """'auto' must resolve without error on the current platform."""
+        import jax.numpy as jnp
+        from immunostruct_tpu.ops.egnn import egnn_stack_init, egnn_stack_apply
+        params = egnn_stack_init(jax.random.key(0), 1, 20, 8)
+        h = jnp.asarray(rng.standard_normal((1, 6, 20)).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal((1, 6, 3)).astype(np.float32))
+        src = jnp.zeros((1, 4), jnp.int32)
+        dst = jnp.ones((1, 4), jnp.int32)
+        out_h, out_x = egnn_stack_apply(params, h, x, src, dst,
+                                        jnp.ones((1, 4, 1)), jnp.ones((1, 4), bool),
+                                        aggregation="auto")
+        assert np.isfinite(np.asarray(out_h)).all()
