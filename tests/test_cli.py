@@ -73,6 +73,24 @@ class TestTrainCancerCLI:
         assert "os_p_value" in test_stats and "pfs_p_value" in test_stats
 
 
+class TestCurriculumCLI:
+    def test_two_stage_prop_then_immuno(self, iedb, tmp_path):
+        from immunostruct_tpu.cli.train_curriculum import main
+        root, (gd, pp, hp) = iedb
+        train_stats, test_stats = main(_common(str(tmp_path)) + [
+            "--model", "HybridModel",
+            "--stages", "PropIEDB,ImmunoIEDB",
+            "--graph-dir-IEDB", gd, "--property-path-IEDB", pp, "--hla-path", hp,
+        ])
+        assert 0 <= test_stats["roc_auc"] <= 1
+
+    def test_rejects_unknown_stage(self, iedb, tmp_path):
+        from immunostruct_tpu.cli.train_curriculum import main
+        root, (gd, pp, hp) = iedb
+        with pytest.raises(SystemExit):
+            main(_common(str(tmp_path)) + ["--stages", "Bogus"])
+
+
 class TestInferCLI:
     def test_infer_after_train(self, iedb, tmp_path):
         from immunostruct_tpu.cli.train_IEDB_wFT import main as train_main
