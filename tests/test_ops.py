@@ -179,3 +179,26 @@ class TestPooling:
         np.testing.assert_allclose(got_mean[1], x[1, :1].mean(0), rtol=1e-5)
         got_max = np.asarray(masked_max_pool(jnp.asarray(x), jnp.asarray(mask)))
         np.testing.assert_allclose(got_max[0], x[0, :3].max(0), rtol=1e-5)
+
+
+class TestEGNNGradients:
+    def test_check_grads_small(self, rng):
+        """Finite-difference gradient check through one EGNN layer."""
+        from jax.test_util import check_grads
+        from immunostruct_tpu.ops import egnn_init, egnn_apply
+        import jax.numpy as jnp
+        import jax
+
+        n, e = 6, 10
+        h, x, src, dst = random_graph(rng, n, e)
+        params = egnn_init(jax.random.key(9), 20, 8, 8)
+        ef = jnp.ones((1, e, 1))
+        em = jnp.ones((1, e), bool)
+
+        def f(params, h, x):
+            ho, xo = egnn_apply(params, h, x, jnp.asarray(src)[None],
+                                jnp.asarray(dst)[None], ef, em)
+            return jnp.sum(ho ** 2) + jnp.sum(xo ** 2)
+
+        check_grads(f, (params, jnp.asarray(h)[None], jnp.asarray(x)[None]),
+                    order=1, modes=["rev"], rtol=2e-2)
