@@ -38,6 +38,10 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--device-data", action="store_true",
                    help="keep the corpus HBM-resident and batch on device "
                         "(no per-step host work; requires augmentation off)")
+    p.add_argument("--grad-accum-steps", default=1, type=int,
+                   help="scanned microbatches per optimizer step (batch-size "
+                        "must be divisible; keeps per-chunk working sets at "
+                        "the v5e sweet spot for large effective batches)")
     return p
 
 

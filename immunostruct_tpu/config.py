@@ -82,6 +82,7 @@ class Config:
     aggregation: str = "auto"        # 'auto'|'onehot'|'scatter'|'pallas' EGNN aggregation
     resume: bool = False             # within-stage resume from .resume snapshots
     device_data: bool = False        # HBM-resident corpus + on-device batching
+    grad_accum_steps: int = 1        # scanned microbatches per optimizer step
 
     # derived (filled by `derive_paths`)
     model_save_path_pretrain: str = ""

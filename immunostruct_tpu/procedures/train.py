@@ -140,7 +140,10 @@ class Trainer:
     # -- steps ---------------------------------------------------------------
     def _loss_and_grads(self, params, batch, rng):
         k = self.grad_accum_steps
-        if k <= 1:
+        batch_size = jax.tree.leaves(batch)[0].shape[0]
+        if k <= 1 or batch_size % k != 0:
+            # remainder batches (trailing partial batch) fall back to the
+            # unsplit gradient; shapes are static so this is a trace-time branch
             return jax.value_and_grad(self._batch_loss)(params, batch, rng, False)
 
         def chunked(x):
@@ -270,18 +273,21 @@ def train_model(config, spec: ModelSpec, params: dict, train_pipe, val_pipe,
     schedule = lr_schedule if lr_schedule is not None else constant_lr(learning_rate)
     optimizer = make_optimizer(optimizer_name, schedule, weight_decay,
                                steps_per_epoch=max(len(train_pipe), 1))
+    accum = getattr(config, "grad_accum_steps", 1)
     if getattr(config, "data_parallel", False):
         from immunostruct_tpu.parallel.trainer import make_sharded_trainer
         trainer = make_sharded_trainer(
             spec, loss_cfg, binary=binary, optimizer=optimizer,
             coeff_contrastive=coeff_contrastive,
             aggregation=config.aggregation,
-            compute_dtype=jnp.dtype(config.compute_dtype))
+            compute_dtype=jnp.dtype(config.compute_dtype),
+            grad_accum_steps=accum)
     else:
         trainer = Trainer(spec, loss_cfg, binary=binary, optimizer=optimizer,
                           coeff_contrastive=coeff_contrastive,
                           aggregation=config.aggregation,
-                          compute_dtype=jnp.dtype(config.compute_dtype))
+                          compute_dtype=jnp.dtype(config.compute_dtype),
+                          grad_accum_steps=accum)
     state = trainer.init_state(params, rng)
     ckpt = (config.model_save_path_pretrain if stage == "pretrain"
             else config.model_save_path_finetune)
