@@ -7,5 +7,9 @@ from immunostruct_tpu.procedures.clinical import (
 )
 from immunostruct_tpu.procedures.train import (
     TrainState, Trainer, train_model, train_model_comparative,
+    train_model_SSL, train_model_comparative_SSL,
 )
-from immunostruct_tpu.procedures.infer import inference, inference_comparative, inference_clinical_only
+from immunostruct_tpu.procedures.infer import (
+    inference, inference_comparative, inference_SSL,
+    inference_comparative_SSL, inference_clinical_only,
+)

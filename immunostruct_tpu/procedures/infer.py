@@ -73,8 +73,12 @@ def inference(config, spec: ModelSpec, params: dict, pipe, *,
     return out
 
 
-# comparative-ness follows the pipeline type (ComparativePipeline batches)
+# aliases, reference API surface parity (infer.py:9,:53 + infer_SSL.py:9,:53):
+# comparative-ness follows the pipeline type; SSL models share the same
+# forward (node predictions are simply unused at inference)
 inference_comparative = inference
+inference_SSL = inference
+inference_comparative_SSL = inference
 
 
 def inference_clinical_only(config, spec: ModelSpec, params: dict, clinical, *,

@@ -298,5 +298,10 @@ def train_model(config, spec: ModelSpec, params: dict, train_pipe, val_pipe,
     return state.params, history
 
 
-# alias: the comparative path is selected by passing a ComparativePipeline
+# aliases, reference API surface parity: the comparative path is selected by
+# passing a ComparativePipeline; SSL by an ssl=True pipeline + LossConfig(ssl=True)
+# (the reference splits these into four functions, procedures/train.py:10,:70
+# and train_SSL.py:10,:71)
 train_model_comparative = train_model
+train_model_SSL = train_model
+train_model_comparative_SSL = train_model
