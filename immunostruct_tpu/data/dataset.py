@@ -130,7 +130,8 @@ class ImmunoDataset:
 
     @classmethod
     def from_joined(cls, config, corpus: GraphCorpus, name_mapper: dict,
-                    f_dict: dict, fp2_dict: dict, imm_dict: dict) -> "ImmunoDataset":
+                    f_dict: dict, fp2_dict: dict, imm_dict: dict,
+                    verbose: bool = True) -> "ImmunoDataset":
         # two-sided join (preprocess.py:147-173)
         corpus_index = corpus.index()
         rows = [(pair, v) for pair, v in name_mapper.items() if v[1] in corpus_index]
@@ -141,6 +142,12 @@ class ImmunoDataset:
                 "the property/HLA tables belong to the same corpus (graph "
                 f"count={len(corpus)}, table rows={len(name_mapper)}).")
         used_keys = sorted({v[1] for _, v in rows}, key=lambda k: corpus_index[k])
+        if verbose:
+            # join-statistic reporting, reference UX parity (preprocess.py:158,:173)
+            print(f"new sequence table size: {len(rows)}, "
+                  f"removed {len(name_mapper) - len(rows)}")
+            print(f"new graph list size: {len(used_keys)}, "
+                  f"removed {len(corpus) - len(used_keys)}")
         key_to_new = {k: i for i, k in enumerate(used_keys)}
         sub = corpus.subset([corpus_index[k] for k in used_keys])
 
