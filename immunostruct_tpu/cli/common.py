@@ -49,9 +49,10 @@ def pick_pipeline(config, comparative: bool, ssl: bool):
     """BatchPipeline by default; Device*Pipeline with --device-data when the
     configuration has no host-side augmentation."""
     from immunostruct_tpu.data import BatchPipeline, ComparativePipeline
-    if getattr(config, "device_data", False) and not ssl \
-            and config.sequence_pad_count == 0 and config.structure_pad_count == 0 \
-            and not config.force_graph_augmentation:
+    no_effective_augment = (
+        not ssl and not config.force_graph_augmentation
+        and (config.sequence_pad_count == 0 or not config.full_sequence))
+    if getattr(config, "device_data", False) and no_effective_augment:
         from immunostruct_tpu.data.device_pipeline import (
             DevicePipeline, ComparativeDevicePipeline,
         )

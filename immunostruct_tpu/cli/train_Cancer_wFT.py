@@ -92,7 +92,7 @@ def main(argv=None):
                             loss_cfg, binary=False,
                             learning_rate=config.learning_rate_pretrain,
                             optimizer_name="adamw", weight_decay=config.weight_decay,
-                            stage="pretrain",
+                            stage="pretrain", resume_tag="stage1",
                             log_fn=lambda m: logger.log(
                                 {"pretrain_train_loss": m["train_loss"],
                                  "pretrain_val_loss": m["val_loss"]}))
@@ -112,7 +112,7 @@ def main(argv=None):
                             mk2(va2, "val", False), loss_cfg, binary=False,
                             learning_rate=config.learning_rate_pretrain,
                             optimizer_name="adamw", weight_decay=config.weight_decay,
-                            stage="pretrain",
+                            stage="pretrain", resume_tag="stage2",
                             coeff_contrastive=config.coeff_contrastive,
                             log_fn=lambda m: logger.log(
                                 {"pretrain2_train_loss": m["train_loss"],
@@ -154,7 +154,10 @@ def main(argv=None):
                     "seq_df": pd.read_table(config.seq_path_clinical),
                     "clin_df": pd.read_table(config.clinical_table_path)}
 
-    train_stats = inference(config, spec, params, train_pipe)
+    # threshold derivation on an un-padded, un-extended view of the train
+    # split (the training pipe is oversampled via extend_to and may pad)
+    thresh_pipe = mk2(tr2, "eval_train", True)
+    train_stats = inference(config, spec, params, thresh_pipe)
     test_stats = inference(config, spec, params, test_pipe,
                            optimal_threshold=train_stats["optimal_threshold"],
                            clinical=clinical,

@@ -90,7 +90,12 @@ def main(argv=None):
 
     params = load_checkpoint(config.model_save_path_finetune, params)
 
-    train_stats = inference(config, spec, params, train_pipe)
+    # threshold derivation on an un-padded, un-augmented view of the train
+    # split: device pipelines pad trailing train batches with duplicated
+    # rows, which must not leak into metrics or the transferred threshold
+    thresh_pipe = Pipe(dataset, train_idx, split="eval_train", binary=True,
+                       full=config.full_sequence, config=config, ssl=ssl)
+    train_stats = inference(config, spec, params, thresh_pipe)
     test_stats = inference(config, spec, params, test_pipe,
                            optimal_threshold=train_stats["optimal_threshold"])
 

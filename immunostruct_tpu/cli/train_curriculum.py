@@ -141,6 +141,7 @@ def main(argv=None):
             learning_rate=lr, optimizer_name="adamw",
             weight_decay=config.weight_decay, lr_schedule=schedule,
             stage="finetune" if is_last else "pretrain",
+            resume_tag=f"stage{i + 1}",
             coeff_contrastive=config.coeff_contrastive if comparative else 0.0,
             log_fn=lambda m, s=stage: logger.log(
                 {f"{s}_train_loss": m["train_loss"],
@@ -152,7 +153,10 @@ def main(argv=None):
         if not is_last:
             params = reset_head(params, spec, jax.random.fold_in(root_key, i))
 
-    train_stats = inference(config, spec, params, train_pipe)
+    # un-extended, un-padded train view for threshold derivation
+    thresh_pipe = Pipe(ds, tr, split="eval_train", binary=binary,
+                       full=config.full_sequence, config=config, ssl=ssl)
+    train_stats = inference(config, spec, params, thresh_pipe)
     test_stats = inference(config, spec, params, test_pipe,
                            optimal_threshold=train_stats["optimal_threshold"])
     logger.log(stats_to_wandb("Train", train_stats))

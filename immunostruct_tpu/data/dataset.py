@@ -48,6 +48,12 @@ def seeded_split(n: int, fractions: tuple, seed: int):
         g = torch.Generator().manual_seed(seed)
         perm = torch.randperm(n, generator=g).tolist()
     except ImportError:
+        # NOT fold-compatible with the torch path: a model trained where
+        # torch was available cannot recover its test fold here. Warn loudly
+        # instead of silently leaking train rows into "test" metrics.
+        print("WARNING: torch unavailable — seeded_split is using a numpy "
+              "permutation that does NOT reproduce torch.random_split folds. "
+              "Do not mix checkpoints/evaluations across the two modes.")
         perm = np.random.default_rng(seed).permutation(n).tolist()
     out, offset = [], 0
     for ln in lengths:

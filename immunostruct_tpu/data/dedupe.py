@@ -51,14 +51,19 @@ def duplicate_check(ds: ImmunoDataset) -> None:
 def dedupe(ds: ImmunoDataset) -> ImmunoDataset:
     """Return a copy of the dataset with full duplicates removed."""
     import dataclasses
+    from collections import Counter
     _, to_remove = find_duplicates(ds)
     if not to_remove:
         return ds
     keep = np.setdiff1d(np.arange(len(ds)), np.asarray(to_remove))
+    immuno = ds.immuno[keep]
     return dataclasses.replace(
         ds,
         seq_full=ds.seq_full[keep], seq_pep=ds.seq_pep[keep],
-        props=ds.props[keep], immuno=ds.immuno[keep],
+        props=ds.props[keep], immuno=immuno,
         foreign_norm=ds.foreign_norm[keep], graph_idx=ds.graph_idx[keep],
         raw_chain=[ds.raw_chain[i] for i in keep], pep_len=ds.pep_len[keep],
+        # class weights (and the pos_weight derived from them) must reflect
+        # the deduplicated labels
+        class_weights=Counter(immuno.tolist()),
     )

@@ -81,7 +81,7 @@ def ssl_mask_paired(key: jax.Array, onehot_c: jax.Array, onehot_w: jax.Array):
     all-ones. When no common class exists, neither graph is masked and the
     class is 0 (the host fallback).
     """
-    k_cls, k_c, k_w = jax.random.split(key, 3)
+    k_pick, k_w = jax.random.split(key)
     b, n, c = onehot_c.shape
     real_c = (onehot_c.sum(-1) == 1.0)
     real_w = (onehot_w.sum(-1) == 1.0)
@@ -93,22 +93,32 @@ def ssl_mask_paired(key: jax.Array, onehot_c: jax.Array, onehot_w: jax.Array):
         onehot_cls = jax.nn.one_hot(cls_idx, c, dtype=jnp.float32)
         return (onehot_cls * real[..., None]).sum(1) > 0
 
-    common = present(cls_c, real_c) & present(cls_w, real_w)    # [B, C]
-    gumbel = jax.random.gumbel(k_cls, (b, c))
-    cls_pick = jnp.argmax(jnp.where(common, gumbel, -jnp.inf), axis=1)
-    has_common = common.any(axis=1)
-    classes = jnp.where(has_common, cls_pick, 0).astype(jnp.int32)
+    # pick a CANCER RESIDUE uniformly among residues whose class also exists
+    # in WT — the host/reference distribution (a shuffled residue scan,
+    # immmunopred_dataloader.py:253-271), so class probability stays
+    # proportional to residue frequency, not uniform over classes
+    present_w = present(cls_w, real_w)                          # [B, C]
+    class_ok = jnp.take_along_axis(present_w, cls_c, axis=1)    # [B, N]
+    eligible_c = real_c & class_ok
+    g = jax.random.gumbel(k_pick, (b, n))
+    pick_c = jnp.argmax(jnp.where(eligible_c, g, -jnp.inf), axis=1)
+    has_common = eligible_c.any(axis=1)
+    classes = jnp.where(
+        has_common,
+        jnp.take_along_axis(cls_c, pick_c[:, None], axis=1)[:, 0], 0
+    ).astype(jnp.int32)
 
-    def mask_one(key, onehot, real, cls_idx, target_cls, enable):
-        ok = real & (cls_idx == target_cls[:, None])
-        g = jax.random.gumbel(key, (b, n))
-        pick = jnp.argmax(jnp.where(ok, g, -jnp.inf), axis=1)
-        row = jax.nn.one_hot(pick, n, dtype=onehot.dtype)
-        row = row * (enable & ok.any(axis=1))[:, None].astype(onehot.dtype)
-        return jnp.where(row[..., None] > 0, 1.0, onehot)
+    row_c = jax.nn.one_hot(pick_c, n, dtype=onehot_c.dtype)
+    row_c = row_c * has_common[:, None].astype(onehot_c.dtype)
+    masked_c = jnp.where(row_c[..., None] > 0, 1.0, onehot_c)
 
-    masked_c = mask_one(k_c, onehot_c, real_c, cls_c, classes, has_common)
-    masked_w = mask_one(k_w, onehot_w, real_w, cls_w, classes, has_common)
+    # WT side: uniform among residues of the chosen class
+    ok_w = real_w & (cls_w == classes[:, None])
+    g_w = jax.random.gumbel(k_w, (b, n))
+    pick_w = jnp.argmax(jnp.where(ok_w, g_w, -jnp.inf), axis=1)
+    row_w = jax.nn.one_hot(pick_w, n, dtype=onehot_w.dtype)
+    row_w = row_w * (has_common & ok_w.any(axis=1))[:, None].astype(onehot_w.dtype)
+    masked_w = jnp.where(row_w[..., None] > 0, 1.0, onehot_w)
     return masked_c, masked_w, classes
 
 

@@ -118,9 +118,12 @@ class DevicePipeline:
         # eval metrics: default on for training splits only
         if pad_final_batch is None:
             pad_final_batch = (split == "train")
-        wants_augment = (ssl or config.sequence_pad_count > 0
-                         or config.structure_pad_count > 0
-                         or config.force_graph_augmentation)
+        # only transforms that actually reach the model need device_augment:
+        # graph rotation/masking applies on SSL or forced paths only (the
+        # host pipeline's return-original-graph quirk, data/pipeline.py),
+        # and sequence masking applies only to full-chain inputs
+        wants_augment = (ssl or config.force_graph_augmentation
+                         or (config.sequence_pad_count > 0 and full))
         if wants_augment and not device_augment:
             raise ValueError(
                 "this configuration needs train-time augmentation; pass "

@@ -76,18 +76,30 @@ def _random_rotations(rng: np.random.Generator, count: int) -> np.ndarray:
     return q.astype(np.float32)
 
 
-def _mask_sequence_batch(rng, seq: np.ndarray, maskable_len: int, count: int):
-    """Mask `count` random positions per row within [0, maskable_len)."""
+def _mask_sequence_batch(rng, seq: np.ndarray, maskable_len: int, count: int,
+                         cols: Optional[np.ndarray] = None):
+    """Mask `count` random positions per row within [0, maskable_len).
+
+    Pass precomputed ``cols`` [B, count] to mask the SAME positions across
+    paired sequences (the comparative requirement,
+    immmunopred_dataloader.py:216-231).
+    """
     if count <= 0 or maskable_len <= 0:
         return seq
     b, _, a = seq.shape
     pad_onehot = np.zeros((a,), np.float32)
     pad_onehot[a - 1] = 1.0  # 'J' is the last alphabet channel
-    cols = np.argsort(rng.random((b, maskable_len)), axis=1)[:, :count]
+    if cols is None:
+        cols = _mask_positions(rng, b, maskable_len, count)
     rows = np.repeat(np.arange(b), count)
     seq = seq.copy()
     seq[rows, cols.reshape(-1)] = pad_onehot
     return seq
+
+
+def _mask_positions(rng, batch: int, maskable_len: int, count: int) -> np.ndarray:
+    """[B, count] distinct positions per row in [0, maskable_len)."""
+    return np.argsort(rng.random((batch, maskable_len)), axis=1)[:, :count]
 
 
 def _mask_structure_batch(rng, onehot: np.ndarray, count: int):
@@ -284,14 +296,13 @@ class ComparativePipeline(BatchPipeline):
         if self.full:
             seq_c, seq_w = self.ds.seq_full[rows], self.wt.seq_full[rows]
             if train and self.config.sequence_pad_count > 0:
-                b, ml = len(rows), self.maskable_len
-                cols = np.argsort(rng.random((b, ml)), axis=1)[:, :self.config.sequence_pad_count]
-                pad = np.zeros((21,), np.float32)
-                pad[20] = 1.0
-                seq_c, seq_w = seq_c.copy(), seq_w.copy()
-                r = np.repeat(np.arange(b), cols.shape[1])
-                seq_c[r, cols.reshape(-1)] = pad
-                seq_w[r, cols.reshape(-1)] = pad
+                # same mask positions in both branches
+                cols = _mask_positions(rng, len(rows), self.maskable_len,
+                                       self.config.sequence_pad_count)
+                seq_c = _mask_sequence_batch(rng, seq_c, self.maskable_len,
+                                             self.config.sequence_pad_count, cols)
+                seq_w = _mask_sequence_batch(rng, seq_w, self.maskable_len,
+                                             self.config.sequence_pad_count, cols)
         else:
             seq_c, seq_w = self.ds.seq_pep[rows], self.wt.seq_pep[rows]
 

@@ -108,8 +108,16 @@ def featurize_pdb(path: str, edge_config: EdgeConfig = EdgeConfig(),
         if "Immuno" in stem:
             name = stem
         else:
+            # fallback key derived from the SUBGRAPH sequence — this cannot
+            # join property tables (their keys hash the full 274-aa HLA
+            # chain + peptide, tables.py expand_hla). Fine for standalone
+            # graph use; for training corpora the PDB filename must carry
+            # the Immuno<chain[-99:]_sha1[:5]> key, as the reference's do.
             seq = "".join(AA3_TO_1.get(r, "X") for r in resnames)
             name = f"{stem}Immuno{seq[-99:]}_{get_hash(seq)[:5]}"
+            print(f"WARNING: {stem}.pdb has no 'Immuno' join key in its "
+                  "filename; derived a standalone name that will NOT join "
+                  "property tables.")
     return name, x, coords, edge_index
 
 

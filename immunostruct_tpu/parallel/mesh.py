@@ -23,19 +23,26 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
                            process_id: Optional[int] = None) -> None:
     """Multi-host bring-up: ``jax.distributed.initialize`` so a single
     ``make_mesh()`` then spans every chip in the slice/pod (gradient
-    all-reduce rides ICI within a slice and DCN across slices). No-ops on a
-    single process or when already initialized."""
-    if jax.process_count() > 1:
-        return
+    all-reduce rides ICI within a slice and DCN across slices).
+
+    Must run before any other jax call (the backend must not be initialized
+    yet — do NOT probe jax.devices()/process_count() first). Failures are
+    fatal when a coordinator was explicitly given; otherwise a visible
+    warning is printed and the run proceeds single-process, so a silently
+    degraded multi-host job cannot masquerade as a healthy one.
+    """
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
     except (ValueError, RuntimeError) as e:
-        # single-process run without coordinator env: nothing to do
-        if coordinator_address is not None:
+        if coordinator_address is not None or num_processes is not None:
             raise
-        del e
+        if "already" in str(e).lower():
+            return  # initialize() ran earlier in this process: fine
+        print(f"WARNING: jax.distributed.initialize skipped ({e}); "
+              "running single-process. For multi-host training call "
+              "initialize_distributed() before any other jax usage.")
 
 
 def make_mesh(axis_name: str = "data", devices=None) -> Mesh:

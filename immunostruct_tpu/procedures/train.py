@@ -51,12 +51,21 @@ jax.tree_util.register_dataclass(
 
 def make_optimizer(name: str, lr_schedule: Callable, weight_decay: float = 0.0,
                    steps_per_epoch: int = 1):
-    """Adam/AdamW with an epoch-indexed schedule (per-epoch stepping parity)."""
+    """Adam/AdamW with an epoch-indexed schedule (per-epoch stepping parity).
+
+    Weight-decay semantics match torch: 'adam' with weight_decay applies
+    coupled L2 (decay added to the gradient BEFORE the Adam moments, like
+    torch.optim.Adam(weight_decay=...), used by the reference's IEDB
+    finetune, train_IEDB_wFT.py:97); 'adamw' applies decoupled decay.
+    """
     def per_step_schedule(step):
         return lr_schedule(step // steps_per_epoch)
 
-    if name == "adamw" or weight_decay > 0:
+    if name == "adamw":
         return optax.adamw(per_step_schedule, weight_decay=weight_decay)
+    if weight_decay > 0:
+        return optax.chain(optax.add_decayed_weights(weight_decay),
+                           optax.adam(per_step_schedule))
     return optax.adam(per_step_schedule)
 
 
@@ -264,7 +273,8 @@ def train_model(config, spec: ModelSpec, params: dict, train_pipe, val_pipe,
                 weight_decay: float = 0.0, optimizer_name: str = "adam",
                 lr_schedule=None, rng: Optional[jax.Array] = None,
                 stage: str = "pretrain", coeff_contrastive: float = 0.0,
-                log_fn=None, verbose: bool = True):
+                log_fn=None, verbose: bool = True,
+                resume_tag: Optional[str] = None):
     """Stage runner with the reference's train_model/_comparative signature
     semantics (procedures/train.py:10, :70). Comparative-ness follows the
     pipeline type, not a separate function."""
@@ -291,7 +301,11 @@ def train_model(config, spec: ModelSpec, params: dict, train_pipe, val_pipe,
     state = trainer.init_state(params, rng)
     ckpt = (config.model_save_path_pretrain if stage == "pretrain"
             else config.model_save_path_finetune)
-    resume_path = (ckpt + ".resume") if getattr(config, "resume", False) else None
+    # stage-unique snapshot names: multi-pretrain curricula share the
+    # pretrain checkpoint path, and a stale snapshot from a later stage must
+    # not resume an earlier one with the wrong state
+    suffix = f".{resume_tag}.resume" if resume_tag else ".resume"
+    resume_path = (ckpt + suffix) if getattr(config, "resume", False) else None
     state, history = trainer.fit(state, train_pipe, val_pipe, config.num_epochs,
                                  rng, ckpt_path=ckpt, log_fn=log_fn,
                                  verbose=verbose, resume_path=resume_path)
