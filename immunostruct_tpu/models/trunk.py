@@ -187,11 +187,12 @@ def reset_head(params: dict, spec: ModelSpec, key: jax.Array,
 # --------------------------------------------------------------------------
 
 def _structure_branch(params: dict, spec: ModelSpec, graph: GraphBatch,
-                      aggregation: str, compute_dtype):
+                      aggregation: str, compute_dtype, scan_layers: bool = False):
     h = graph.node_feat[..., :NUM_AMINO_ACIDS].astype(compute_dtype)
     x = graph.coords.astype(compute_dtype)
     h, _ = egnn_stack_apply(params["gcn"], h, x, graph.edge_src, graph.edge_dst,
-                            graph.edge_feat, graph.edge_mask, aggregation=aggregation)
+                            graph.edge_feat, graph.edge_mask, aggregation=aggregation,
+                            scan_layers=scan_layers)
     if spec.node_attention == "self":
         attn_out, attn_w = self_attention_apply(params["node_attn"], h)
     else:
@@ -230,7 +231,8 @@ def _property_branch(params: dict, props: jax.Array, key, deterministic: bool,
 def forward_item(params: dict, spec: ModelSpec, graph: Optional[GraphBatch],
                  seq_onehot: Optional[jax.Array], props: Optional[jax.Array],
                  rng: jax.Array, deterministic: bool = False,
-                 aggregation: str = "auto", compute_dtype=jnp.float32):
+                 aggregation: str = "auto", compute_dtype=jnp.float32,
+                 scan_layers: bool = False):
     """Single-branch forward shared by plain and comparative paths.
 
     Returns (embedding, recon, mu, logvar, attn_weights). ``embedding`` is
@@ -242,7 +244,8 @@ def forward_item(params: dict, spec: ModelSpec, graph: Optional[GraphBatch],
     pieces = []
 
     if spec.use_structure:
-        pooled, attn_w = _structure_branch(params, spec, graph, aggregation, compute_dtype)
+        pooled, attn_w = _structure_branch(params, spec, graph, aggregation,
+                                           compute_dtype, scan_layers)
         pieces.append(pooled)
 
     if spec.use_sequence:
@@ -288,7 +291,8 @@ def _classify(params: dict, spec: ModelSpec, combined: jax.Array,
 def model_apply(params: dict, spec: ModelSpec, graph: Optional[GraphBatch],
                 seq_onehot: Optional[jax.Array], props: Optional[jax.Array],
                 rng: jax.Array, deterministic: bool = False,
-                aggregation: str = "auto", compute_dtype=jnp.float32) -> ModelOutput:
+                aggregation: str = "auto", compute_dtype=jnp.float32,
+                scan_layers: bool = False) -> ModelOutput:
     """Plain (non-comparative) forward.
 
     For comparative specs this is the pretraining path: the item embedding is
@@ -298,7 +302,7 @@ def model_apply(params: dict, spec: ModelSpec, graph: Optional[GraphBatch],
     k_item, k_cls = jax.random.split(rng)
     embedding, recon, mu, logvar, attn_w = forward_item(
         params, spec, graph, seq_onehot, props, k_item, deterministic,
-        aggregation, compute_dtype)
+        aggregation, compute_dtype, scan_layers)
 
     combined = embedding
     if spec.comparative and spec.use_wt_for_downstream:
@@ -315,6 +319,7 @@ def model_apply_comparative(
     graph_pair, seq_pair, props_pair,
     rng: jax.Array, deterministic: bool = False,
     aggregation: str = "auto", compute_dtype=jnp.float32,
+    scan_layers: bool = False,
 ):
     """Twin forward over (cancer, wt) with shared weights.
 
@@ -326,10 +331,10 @@ def model_apply_comparative(
     k_c, k_w, k_cls = jax.random.split(rng, 3)
     emb_c, recon_c, mu_c, logvar_c, attn_c = forward_item(
         params, spec, graph_pair[0], seq_pair[0], props_pair[0], k_c,
-        deterministic, aggregation, compute_dtype)
+        deterministic, aggregation, compute_dtype, scan_layers)
     emb_w, recon_w, mu_w, logvar_w, attn_w = forward_item(
         params, spec, graph_pair[1], seq_pair[1], props_pair[1], k_w,
-        deterministic, aggregation, compute_dtype)
+        deterministic, aggregation, compute_dtype, scan_layers)
 
     if spec.use_wt_for_downstream:
         combined = jnp.concatenate([emb_c, emb_w], axis=-1)

@@ -184,12 +184,18 @@ def egnn_stack_apply(
     edge_src: jax.Array, edge_dst: jax.Array,
     edge_feat: jax.Array, edge_mask: jax.Array,
     aggregation: str = "auto",
+    scan_layers: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Run the full conv stack, sharing one scatter matrix across layers.
 
     aggregation: 'auto' picks 'pallas' on TPU (fused on-chip one-hot matmul,
     no HBM scatter matrix) and 'scatter' elsewhere; 'onehot' materializes the
     [B, N, E] matrix once and shares it across layers.
+
+    scan_layers: roll the identically-shaped hidden convs (layers[1:]) into
+    one ``lax.scan`` body — same numerics, ~K-fold smaller HLO (faster
+    compiles; matters on slow remote-compile toolchains). Params are stacked
+    at trace time so the checkpoint/param layout is unchanged.
     """
     if aggregation == "auto":
         platform = jax.devices()[0].platform
@@ -204,7 +210,22 @@ def egnn_stack_apply(
     scatter_matrix = None
     if aggregation == "onehot":
         scatter_matrix = build_scatter_matrix(edge_dst, edge_mask, h.shape[1], dtype=h.dtype)
-    for params in layers:
-        h, x = egnn_apply(params, h, x, edge_src, edge_dst, edge_feat, edge_mask,
+
+    def one(params, h, x):
+        return egnn_apply(params, h, x, edge_src, edge_dst, edge_feat, edge_mask,
                           scatter_matrix=scatter_matrix, aggregation=aggregation)
+
+    if scan_layers and len(layers) > 2 and aggregation != "pallas":
+        h, x = one(layers[0], h, x)  # input layer: different in-dim
+        stacked = jax.tree.map(lambda *leaves: jnp.stack(leaves), *layers[1:])
+
+        def body(carry, layer_params):
+            h, x = carry
+            return one(layer_params, h, x), None
+
+        (h, x), _ = jax.lax.scan(body, (h, x), stacked)
+        return h, x
+
+    for params in layers:
+        h, x = one(params, h, x)
     return h, x
