@@ -23,7 +23,7 @@ from typing import Optional
 import jax
 import optax
 from jax.sharding import Mesh
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 from immunostruct_tpu.parallel.mesh import (
@@ -90,7 +90,7 @@ def shard_map_train_step(trainer: Trainer, mesh: Mesh, axis_name: str = "data"):
                       specs_like(batch, batch_spec),
                       replicated),
             out_specs=(specs_like(state, replicated), replicated),
-            check_rep=False,
+            check_vma=False,
         )
         return fn(state, batch, rng)
 

@@ -8,7 +8,7 @@ import numpy as np
 import optax
 import pytest
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from immunostruct_tpu.config import Config
 from immunostruct_tpu.data import synthetic_corpus, ImmunoDataset, BatchPipeline
