@@ -42,6 +42,9 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="scanned microbatches per optimizer step (batch-size "
                         "must be divisible; keeps per-chunk working sets at "
                         "the v5e sweet spot for large effective batches)")
+    p.add_argument("--scan-layers", action="store_true",
+                   help="roll the identical EGNN hidden convs into lax.scan "
+                        "(smaller HLO; useful on slow-compile toolchains)")
     return p
 
 

@@ -155,8 +155,12 @@ def main(argv=None):
                     "clin_df": pd.read_table(config.clinical_table_path)}
 
     # threshold derivation on an un-padded, un-extended view of the train
-    # split (the training pipe is oversampled via extend_to and may pad)
-    thresh_pipe = mk2(tr2, "eval_train", True)
+    # split (the training pipe is oversampled via extend_to and may pad);
+    # host pipeline: avoids pinning extra HBM corpus copies under --device-data
+    from immunostruct_tpu.data import ComparativePipeline
+    thresh_pipe = ComparativePipeline(
+        dataset_pt2, tr2, split="eval_train", binary=True,
+        full=config.full_sequence, config=config, ssl=ssl)
     train_stats = inference(config, spec, params, thresh_pipe)
     test_stats = inference(config, spec, params, test_pipe,
                            optimal_threshold=train_stats["optimal_threshold"],

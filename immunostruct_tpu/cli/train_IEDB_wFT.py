@@ -92,9 +92,13 @@ def main(argv=None):
 
     # threshold derivation on an un-padded, un-augmented view of the train
     # split: device pipelines pad trailing train batches with duplicated
-    # rows, which must not leak into metrics or the transferred threshold
-    thresh_pipe = Pipe(dataset, train_idx, split="eval_train", binary=True,
-                       full=config.full_sequence, config=config, ssl=ssl)
+    # rows, which must not leak into metrics or the transferred threshold.
+    # Always a host pipeline — one eval pass doesn't justify pinning another
+    # HBM-resident corpus copy under --device-data
+    from immunostruct_tpu.data import BatchPipeline
+    thresh_pipe = BatchPipeline(dataset, train_idx, split="eval_train",
+                                binary=True, full=config.full_sequence,
+                                config=config, ssl=ssl)
     train_stats = inference(config, spec, params, thresh_pipe)
     test_stats = inference(config, spec, params, test_pipe,
                            optimal_threshold=train_stats["optimal_threshold"])

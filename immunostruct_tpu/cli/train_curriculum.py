@@ -153,9 +153,11 @@ def main(argv=None):
         if not is_last:
             params = reset_head(params, spec, jax.random.fold_in(root_key, i))
 
-    # un-extended, un-padded train view for threshold derivation
-    thresh_pipe = Pipe(ds, tr, split="eval_train", binary=binary,
-                       full=config.full_sequence, config=config, ssl=ssl)
+    # un-extended, un-padded train view for threshold derivation (host
+    # pipeline: no extra HBM corpus copy under --device-data)
+    HostPipe = ComparativePipeline if comparative else BatchPipeline
+    thresh_pipe = HostPipe(ds, tr, split="eval_train", binary=binary,
+                           full=config.full_sequence, config=config, ssl=ssl)
     train_stats = inference(config, spec, params, thresh_pipe)
     test_stats = inference(config, spec, params, test_pipe,
                            optimal_threshold=train_stats["optimal_threshold"])

@@ -52,7 +52,8 @@ def main(argv=None):
         return 1
 
     cfg = update_paths(Config())
-    ds = ImmunoDataset.load(cfg, args.graph_dir, args.property_path, args.hla_path)
+    ds = ImmunoDataset.load(cfg, args.graph_dir, args.property_path, args.hla_path,
+                            corpus=corpus, cancer=args.cancer)
     dupes, removable = find_duplicates(ds)
     g = ds.graphs
     hbm_bytes = (g.node_onehot.nbytes + g.coords.nbytes + g.edge_src.nbytes * 2

@@ -83,6 +83,7 @@ class Config:
     resume: bool = False             # within-stage resume from .resume snapshots
     device_data: bool = False        # HBM-resident corpus + on-device batching
     grad_accum_steps: int = 1        # scanned microbatches per optimizer step
+    scan_layers: bool = False        # lax.scan over the identical EGNN convs
 
     # derived (filled by `derive_paths`)
     model_save_path_pretrain: str = ""

@@ -127,8 +127,13 @@ class ImmunoDataset:
 
     @classmethod
     def load(cls, config, graph_directory: str, property_path: str, hla_path: str,
-             corpus: Optional[GraphCorpus] = None) -> "ImmunoDataset":
-        cancer = "Cancer" in graph_directory
+             corpus: Optional[GraphCorpus] = None,
+             cancer: Optional[bool] = None) -> "ImmunoDataset":
+        # table dialect defaults to the reference's directory-name heuristic
+        # (train_IEDB_wFT.py via immmunopred_dataloader.py:29); pass `cancer`
+        # explicitly when the directory name doesn't encode it
+        if cancer is None:
+            cancer = "Cancer" in graph_directory
         corpus = corpus if corpus is not None else load_graph_dir(graph_directory)
         f_dict, fp2_dict, imm_dict, pep_pairs = parse_property_table(property_path, cancer)
         name_mapper = expand_hla(pep_pairs, hla_path)

@@ -49,6 +49,8 @@ RESIDUE_HBOND_ACCEPTORS = {
 
 SUBGRAPH_POSITIONS = set(range(1, 180)) | set(range(273, 1000))
 
+_WARNED_MISSING_KEY = False
+
 
 def node_features(resnames: list[str]) -> np.ndarray:
     """[n, 22]: 20-dim alphabetical one-hot + donor count + acceptor count.
@@ -115,9 +117,13 @@ def featurize_pdb(path: str, edge_config: EdgeConfig = EdgeConfig(),
             # the Immuno<chain[-99:]_sha1[:5]> key, as the reference's do.
             seq = "".join(AA3_TO_1.get(r, "X") for r in resnames)
             name = f"{stem}Immuno{seq[-99:]}_{get_hash(seq)[:5]}"
-            print(f"WARNING: {stem}.pdb has no 'Immuno' join key in its "
-                  "filename; derived a standalone name that will NOT join "
-                  "property tables.")
+            global _WARNED_MISSING_KEY
+            if not _WARNED_MISSING_KEY:
+                _WARNED_MISSING_KEY = True
+                print(f"WARNING: {stem}.pdb (and possibly others) has no "
+                      "'Immuno' join key in its filename; derived standalone "
+                      "names that will NOT join property tables. "
+                      "(warning shown once)")
     return name, x, coords, edge_index
 
 

@@ -36,10 +36,12 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
                                    num_processes=num_processes,
                                    process_id=process_id)
     except (ValueError, RuntimeError) as e:
+        # jax raises 'distributed.initialize should only be called once.' on
+        # re-init — a benign no-op for this wrapper regardless of arguments
+        if "only be called once" in str(e):
+            return
         if coordinator_address is not None or num_processes is not None:
             raise
-        if "already" in str(e).lower():
-            return  # initialize() ran earlier in this process: fine
         print(f"WARNING: jax.distributed.initialize skipped ({e}); "
               "running single-process. For multi-host training call "
               "initialize_distributed() before any other jax usage.")

@@ -21,7 +21,8 @@ from immunostruct_tpu.procedures.metrics import evaluate_metrics, find_optimal_t
 
 
 def _collect_probs(spec: ModelSpec, params: dict, pipe, rng: jax.Array,
-                   aggregation: str, compute_dtype) -> tuple[np.ndarray, np.ndarray]:
+                   aggregation: str, compute_dtype,
+                   scan_layers: bool = False) -> tuple[np.ndarray, np.ndarray]:
     @jax.jit
     def fwd(p, batch, key):
         if isinstance(batch, ComparativeBatch):
@@ -29,11 +30,12 @@ def _collect_probs(spec: ModelSpec, params: dict, pipe, rng: jax.Array,
             _, _, logits = model_apply_comparative(
                 p, spec, (c.graph, w.graph), (c.seq_onehot, w.seq_onehot),
                 (c.props, w.props), key, deterministic=True,
-                aggregation=aggregation, compute_dtype=compute_dtype)
+                aggregation=aggregation, compute_dtype=compute_dtype,
+                scan_layers=scan_layers)
             return jax.nn.sigmoid(logits.reshape(-1)), c.target
         out = model_apply(p, spec, batch.graph, batch.seq_onehot, batch.props,
                           key, deterministic=True, aggregation=aggregation,
-                          compute_dtype=compute_dtype)
+                          compute_dtype=compute_dtype, scan_layers=scan_layers)
         return jax.nn.sigmoid(out.logits.reshape(-1)), batch.target
 
     probs, targets = [], []
@@ -59,7 +61,8 @@ def inference(config, spec: ModelSpec, params: dict, pipe, *,
     rng = rng if rng is not None else jax.random.key(config.seed + 0x1f)
     probs, targets = _collect_probs(spec, params, pipe, rng,
                                     config.aggregation,
-                                    jnp.dtype(config.compute_dtype))
+                                    jnp.dtype(config.compute_dtype),
+                                    getattr(config, "scan_layers", False))
     if optimal_threshold is None:
         optimal_threshold = find_optimal_threshold(targets, probs)
     out = evaluate_metrics(targets, probs, optimal_threshold, verbose=verbose)
@@ -102,7 +105,8 @@ def inference_clinical_only(config, spec: ModelSpec, params: dict, clinical, *,
     # placeholder NaN features would poison the jitted forward; run on
     # zero-filled copies and NaN-mask afterwards
     probs, _ = _collect_probs(spec, params, pipe, rng, config.aggregation,
-                              jnp.dtype(config.compute_dtype))
+                              jnp.dtype(config.compute_dtype),
+                              getattr(config, "scan_layers", False))
     probs = probs.astype(float)
     probs[~clinical["valid"]] = np.nan
 

@@ -82,7 +82,7 @@ class Trainer:
                  coeff_contrastive: float = 0.0,
                  aggregation: str = "auto", compute_dtype=jnp.float32,
                  donate: bool = True, mesh=None, shard_batch=None,
-                 grad_accum_steps: int = 1):
+                 grad_accum_steps: int = 1, scan_layers: bool = False):
         self.spec = spec
         self.loss_cfg = loss_cfg
         self.binary = binary
@@ -101,6 +101,7 @@ class Trainer:
         # the full batch (the contrastive pair-similarity/batchnorm) see the
         # microbatch, not the global batch.
         self.grad_accum_steps = grad_accum_steps
+        self.scan_layers = scan_layers
 
         donate_args = (0,) if donate else ()
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=donate_args)
@@ -125,7 +126,7 @@ class Trainer:
                 params, self.spec, (c.graph, w.graph),
                 (c.seq_onehot, w.seq_onehot), (c.props, w.props), rng,
                 deterministic=deterministic, aggregation=self.aggregation,
-                compute_dtype=self.compute_dtype)
+                compute_dtype=self.compute_dtype, scan_layers=self.scan_layers)
             loss_c = self.loss_fn(out_c.recon, c.seq_onehot, out_c.mu, out_c.logvar,
                                   logits, c.target,
                                   node_logits=out_c.node_logits, residue=c.aux_residue)
@@ -141,7 +142,8 @@ class Trainer:
         out = model_apply(params, self.spec, batch.graph, batch.seq_onehot,
                           batch.props, rng, deterministic=deterministic,
                           aggregation=self.aggregation,
-                          compute_dtype=self.compute_dtype)
+                          compute_dtype=self.compute_dtype,
+                          scan_layers=self.scan_layers)
         return self.loss_fn(out.recon, batch.seq_onehot, out.mu, out.logvar,
                             out.logits, batch.target,
                             node_logits=out.node_logits, residue=batch.aux_residue)
@@ -284,6 +286,11 @@ def train_model(config, spec: ModelSpec, params: dict, train_pipe, val_pipe,
     optimizer = make_optimizer(optimizer_name, schedule, weight_decay,
                                steps_per_epoch=max(len(train_pipe), 1))
     accum = getattr(config, "grad_accum_steps", 1)
+    if accum > 1 and config.batch_size % accum != 0:
+        raise ValueError(
+            f"--grad-accum-steps {accum} does not divide --batch-size "
+            f"{config.batch_size}; accumulation would be silently skipped on "
+            "every full batch. Pick a divisible pair (e.g. batch 128, k=2).")
     if getattr(config, "data_parallel", False):
         from immunostruct_tpu.parallel.trainer import make_sharded_trainer
         trainer = make_sharded_trainer(
@@ -291,13 +298,15 @@ def train_model(config, spec: ModelSpec, params: dict, train_pipe, val_pipe,
             coeff_contrastive=coeff_contrastive,
             aggregation=config.aggregation,
             compute_dtype=jnp.dtype(config.compute_dtype),
-            grad_accum_steps=accum)
+            grad_accum_steps=accum,
+            scan_layers=getattr(config, "scan_layers", False))
     else:
         trainer = Trainer(spec, loss_cfg, binary=binary, optimizer=optimizer,
                           coeff_contrastive=coeff_contrastive,
                           aggregation=config.aggregation,
                           compute_dtype=jnp.dtype(config.compute_dtype),
-                          grad_accum_steps=accum)
+                          grad_accum_steps=accum,
+                          scan_layers=getattr(config, "scan_layers", False))
     state = trainer.init_state(params, rng)
     ckpt = (config.model_save_path_pretrain if stage == "pretrain"
             else config.model_save_path_finetune)
