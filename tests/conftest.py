@@ -6,6 +6,13 @@ and all numerics run deterministic float32 on CPU.
 """
 
 import os
+import sys
+
+# make `import immunostruct_tpu` / `import tests.*` work regardless of the
+# directory pytest is invoked from
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.realpath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 # Force CPU even when the environment pre-selects a TPU platform
 # (JAX_PLATFORMS=axon under the tunnel); tests must be hermetic and fast.
