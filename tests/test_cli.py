@@ -72,6 +72,23 @@ class TestTrainCancerCLI:
         assert 0 <= test_stats["roc_auc"] <= 1
         assert "os_p_value" in test_stats and "pfs_p_value" in test_stats
 
+        # comparative batch inference with the produced finetune checkpoint
+        from immunostruct_tpu.cli.infer_IEDB_or_Cancer import main as infer_main
+        ckpt_dir = os.path.join(root, "ckpt")
+        ckpt = next(os.path.join(ckpt_dir, f) for f in sorted(os.listdir(ckpt_dir))
+                    if f.endswith("_finetune.ckpt"))
+        out = os.path.join(root, "cmp_preds.txt")
+        stats = infer_main(_common(root) + [
+            "--model", "HybridModelv2_Comparative", "--comparative",
+            "--use-wt-for-downstream", "--checkpoint", ckpt,
+            "--graph-dir-cancer", dc, "--graph-dir-wildtype", dw,
+            "--property-path-cancer", pc, "--property-path-wildtype", pw,
+            "--hla-path", hp2, "--output", out,
+        ])
+        assert os.path.exists(out)
+        assert len(open(out).read().strip().splitlines()) == \
+            len(stats["predicted_probs"])
+
 
 class TestCurriculumCLI:
     def test_two_stage_prop_then_immuno(self, iedb, tmp_path):
