@@ -24,6 +24,22 @@ needs_ref = pytest.mark.skipif(not os.path.exists(CEDAR),
 
 @needs_ref
 class TestCedarTable:
+    def test_pinned_counts(self):
+        """Exact invariants of the shipped cedar table — regression guards
+        for the parsing/dedup pipeline (measured on the mounted reference)."""
+        from immunostruct_tpu.data.tables import (
+            parse_property_table, dedup_property_df,
+        )
+        _, _, imm, pairs = parse_property_table(CEDAR, cancer=True)
+        assert len(pairs) == 2800            # no NaN-foreignness drops
+        assert len(set(pairs)) == 2710       # 90 duplicate pep_pairs
+        assert sum(v == 1 for v in imm.values()) == 520
+        df = pd.read_table(CEDAR)
+        short = df.dropna(subset="foreign")[
+            ["mut_pep", "wt_pep", "allele", "immunogenicity",
+             "smoothed_foreign", "Mprop1", "Mprop2"]]
+        assert len(dedup_property_df(short)) == 2710
+
     def test_parse_cancer(self):
         from immunostruct_tpu.data.tables import parse_property_table
         f, fp2, imm, pairs = parse_property_table(CEDAR, cancer=True)
