@@ -15,9 +15,18 @@ import jax
 import numpy as np
 
 
+def _to_storable(leaf) -> np.ndarray:
+    """npz cannot represent ml_dtypes (bfloat16 degrades to raw void bytes);
+    store such leaves as float32 and cast back to the target dtype on load."""
+    x = np.asarray(leaf)
+    if x.dtype.kind not in "fiub?":
+        x = x.astype(np.float32)
+    return x
+
+
 def _flatten_named(tree: Any) -> dict:
     flat, _ = jax.tree.flatten_with_path(tree)
-    return {jax.tree_util.keystr(path): np.asarray(leaf) for path, leaf in flat}
+    return {jax.tree_util.keystr(path): _to_storable(leaf) for path, leaf in flat}
 
 
 def save_checkpoint(path: str, tree: Any) -> None:
@@ -38,26 +47,45 @@ def save_checkpoint(path: str, tree: Any) -> None:
 def load_checkpoint(path: str, like: Any, verbose: bool = True) -> Any:
     """Restore into the structure of ``like`` by treepath name.
 
-    Leaves present in both must match shapes; leaves missing from the file
-    keep ``like``'s values; extra file entries are ignored (both reported).
+    Leaves present in both must match shapes (values are cast to the target
+    leaf dtype); leaves missing from the file keep ``like``'s values; extra
+    file entries are ignored (both reported). Raises when NOTHING matches —
+    a totally foreign file (wrong model, a resume snapshot, an old-format
+    checkpoint) must not silently return freshly-initialized parameters.
     """
-    with np.load(path, allow_pickle=False) as z:
-        stored = {k: z[k] for k in z.files}
+    try:
+        with np.load(path, allow_pickle=False) as z:
+            stored = {k: z[k] for k in z.files}
+    except Exception as e:  # noqa: BLE001 - normalize opaque zip errors
+        raise ValueError(
+            f"{path} is not a name-addressed npz checkpoint ({e}); "
+            "checkpoints written before the npz migration must be "
+            "re-created") from e
 
     flat, treedef = jax.tree.flatten_with_path(like)
-    out, missing = [], []
+    out, missing, matched = [], [], 0
     for pathkey, leaf in flat:
         key = jax.tree_util.keystr(pathkey)
         if key in stored:
             value = stored.pop(key)
-            if value.shape != np.asarray(leaf).shape:
+            shape = tuple(getattr(leaf, "shape", np.shape(leaf)))
+            if value.shape != shape:
                 raise ValueError(
                     f"checkpoint leaf {key} has shape {value.shape}, "
-                    f"expected {np.asarray(leaf).shape}")
+                    f"expected {shape}")
+            dtype = getattr(leaf, "dtype", None)
+            if dtype is not None and value.dtype != dtype:
+                value = value.astype(dtype)
             out.append(value)
+            matched += 1
         else:
             missing.append(key)
             out.append(leaf)
+    if matched == 0:
+        raise ValueError(
+            f"{path} shares no parameter names with the target structure "
+            f"(file keys e.g. {sorted(stored)[:2]}); refusing to return "
+            "freshly-initialized parameters")
     if verbose and missing:
         print(f"checkpoint: {len(missing)} leaves not in file (kept current "
               f"values), e.g. {missing[0]}")

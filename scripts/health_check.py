@@ -11,17 +11,21 @@ import os
 import subprocess
 import sys
 
-REPO = os.path.dirname(os.path.dirname(os.path.realpath(__file__)))
-sys.path.insert(0, REPO)
 
-ENV = dict(os.environ, JAX_PLATFORMS="cpu",
+REPO = os.path.dirname(os.path.dirname(os.path.realpath(__file__)))
+
+ENV = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO,
            XLA_FLAGS=(os.environ.get("XLA_FLAGS", "")
                       + " --xla_force_host_platform_device_count=8").strip())
 
 
 def run(label, cmd, timeout=240):
-    r = subprocess.run(cmd, cwd=REPO, env=ENV, capture_output=True, text=True,
-                       timeout=timeout)
+    try:
+        r = subprocess.run(cmd, cwd=REPO, env=ENV, capture_output=True,
+                           text=True, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        print(f"[FAIL] {label} (timed out after {timeout}s)")
+        return False
     ok = r.returncode == 0
     print(f"[{'OK' if ok else 'FAIL'}] {label}")
     if not ok:
