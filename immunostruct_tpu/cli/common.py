@@ -45,6 +45,10 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--scan-layers", action="store_true",
                    help="roll the identical EGNN hidden convs into lax.scan "
                         "(smaller HLO; useful on slow-compile toolchains)")
+    p.add_argument("--allow-microbatch-contrastive", action="store_true",
+                   help="opt into per-microbatch contrastive statistics when "
+                        "combining --coeff-contrastive with "
+                        "--grad-accum-steps > 1 (otherwise an error)")
     return p
 
 

@@ -84,6 +84,8 @@ class Config:
     device_data: bool = False        # HBM-resident corpus + on-device batching
     grad_accum_steps: int = 1        # scanned microbatches per optimizer step
     scan_layers: bool = False        # lax.scan over the identical EGNN convs
+    # explicit opt-in: contrastive statistics per microbatch under grad accum
+    allow_microbatch_contrastive: bool = False
 
     # derived (filled by `derive_paths`)
     model_save_path_pretrain: str = ""

@@ -82,7 +82,24 @@ class Trainer:
                  coeff_contrastive: float = 0.0,
                  aggregation: str = "auto", compute_dtype=jnp.float32,
                  donate: bool = True, mesh=None, shard_batch=None,
-                 grad_accum_steps: int = 1, scan_layers: bool = False):
+                 grad_accum_steps: int = 1, scan_layers: bool = False,
+                 allow_microbatch_contrastive: bool = False):
+        if (coeff_contrastive > 0 and grad_accum_steps > 1
+                and not allow_microbatch_contrastive):
+            # The contrastive loss builds its pair-similarity matrix and
+            # Barlow-Twins cross-correlation over the batch it sees
+            # (utils/contrastive.py); under gradient accumulation that batch
+            # is the microbatch, which silently changes the loss semantics
+            # vs. the reference's full-batch statistics (contrastive.py:63-80
+            # in the reference). Fail loudly instead of drifting.
+            raise ValueError(
+                f"coeff_contrastive={coeff_contrastive} with "
+                f"grad_accum_steps={grad_accum_steps}: the contrastive "
+                "pair-similarity/cross-correlation statistics would be "
+                "computed per microbatch, not per global batch. Either set "
+                "grad_accum_steps=1, disable the contrastive term, or pass "
+                "allow_microbatch_contrastive=True to opt into microbatch "
+                "statistics explicitly.")
         self.spec = spec
         self.loss_cfg = loss_cfg
         self.binary = binary
@@ -299,14 +316,18 @@ def train_model(config, spec: ModelSpec, params: dict, train_pipe, val_pipe,
             aggregation=config.aggregation,
             compute_dtype=jnp.dtype(config.compute_dtype),
             grad_accum_steps=accum,
-            scan_layers=getattr(config, "scan_layers", False))
+            scan_layers=getattr(config, "scan_layers", False),
+            allow_microbatch_contrastive=getattr(
+                config, "allow_microbatch_contrastive", False))
     else:
         trainer = Trainer(spec, loss_cfg, binary=binary, optimizer=optimizer,
                           coeff_contrastive=coeff_contrastive,
                           aggregation=config.aggregation,
                           compute_dtype=jnp.dtype(config.compute_dtype),
                           grad_accum_steps=accum,
-                          scan_layers=getattr(config, "scan_layers", False))
+                          scan_layers=getattr(config, "scan_layers", False),
+                          allow_microbatch_contrastive=getattr(
+                              config, "allow_microbatch_contrastive", False))
     state = trainer.init_state(params, rng)
     ckpt = (config.model_save_path_pretrain if stage == "pretrain"
             else config.model_save_path_finetune)

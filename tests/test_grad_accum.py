@@ -78,3 +78,19 @@ def test_accum_trains_hybrid(rng):
     batch = _batch(rng, b)
     state, loss = trainer._train_step(state, batch, jax.random.key(4))
     assert np.isfinite(float(loss))
+
+def test_contrastive_with_accum_raises():
+    """coeff_contrastive>0 + grad_accum_steps>1 must fail loudly: the
+    contrastive pair statistics would silently become per-microbatch
+    (VERDICT round-1 weak #2)."""
+    vae_dim = 12 * 21
+    spec, _ = build_model("HybridModelv2_Comparative", vae_dim,
+                          jax.random.key(0), use_wt_for_downstream=True)
+    opt = make_optimizer("adam", constant_lr(1e-3))
+    with pytest.raises(ValueError, match="microbatch"):
+        Trainer(spec, LossConfig(vae_dim, 1.0, sequence=True), binary=True,
+                optimizer=opt, coeff_contrastive=0.1, grad_accum_steps=2)
+    # the explicit opt-in constructs fine
+    Trainer(spec, LossConfig(vae_dim, 1.0, sequence=True), binary=True,
+            optimizer=opt, coeff_contrastive=0.1, grad_accum_steps=2,
+            allow_microbatch_contrastive=True)
