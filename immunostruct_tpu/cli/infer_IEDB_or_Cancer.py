@@ -18,8 +18,10 @@ from immunostruct_tpu.data import (
 )
 from immunostruct_tpu.models import build_model
 from immunostruct_tpu.procedures.infer import inference
-from immunostruct_tpu.utils.checkpoint import load_checkpoint
 from immunostruct_tpu.utils.seeding import seed_everything
+from immunostruct_tpu.utils.torch_import import (
+    is_torch_checkpoint, load_any_checkpoint, require_exact_reference_padding,
+)
 
 
 def main(argv=None):
@@ -42,6 +44,12 @@ def main(argv=None):
     config.derive_paths()
     root_key = seed_everything(config.seed)
 
+    # reference torch checkpoints were trained at exact-corpus-max padding;
+    # must decide BEFORE the dataset pads (MIGRATION.md "Padding geometry")
+    from_torch = is_torch_checkpoint(args.checkpoint)
+    if from_torch:
+        require_exact_reference_padding(config)
+
     if args.comparative:
         dataset = ComparativeDataset.load(
             config, config.graph_dir_cancer, config.graph_dir_wildtype,
@@ -62,7 +70,7 @@ def main(argv=None):
                else seq_source.seq_pep.shape[1]) * 21
     spec, params = build_model(config.model, vae_dim, root_key,
                                use_wt_for_downstream=args.use_wt_for_downstream)
-    params = load_checkpoint(args.checkpoint, params)
+    params = load_any_checkpoint(args.checkpoint, params, spec)
 
     if args.comparative:
         pipe = ComparativePipeline(dataset, test_idx, split="test", binary=True,

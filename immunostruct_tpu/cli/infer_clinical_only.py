@@ -14,7 +14,9 @@ from immunostruct_tpu.cli.common import base_parser, to_config
 from immunostruct_tpu.data import ClinicalDataset, BatchPipeline
 from immunostruct_tpu.models import build_model
 from immunostruct_tpu.procedures.infer import inference_clinical_only
-from immunostruct_tpu.utils.checkpoint import load_checkpoint
+from immunostruct_tpu.utils.torch_import import (
+    is_torch_checkpoint, load_any_checkpoint, require_exact_reference_padding,
+)
 from immunostruct_tpu.utils.seeding import seed_everything
 
 
@@ -35,6 +37,10 @@ def main(argv=None):
     p.add_argument("--property-embedding-dim", default=8, type=int)
     args = p.parse_args(argv)
     config = to_config(args)
+    # reference torch checkpoints need exact-corpus-max padding, decided
+    # before the dataset pads (MIGRATION.md "Padding geometry")
+    if is_torch_checkpoint(args.checkpoint):
+        require_exact_reference_padding(config)
     config.derive_paths()
     root_key = seed_everything(config.seed)
 
@@ -49,7 +55,7 @@ def main(argv=None):
         vae_latent_dim=config.vae_latent_dim,
         gat_hidden_channels=config.gat_hidden_channels,
         property_embedding_dim=config.property_embedding_dim)
-    params = load_checkpoint(args.checkpoint, params)
+    params = load_any_checkpoint(args.checkpoint, params, spec)
 
     pipe = BatchPipeline(ds, np.arange(len(ds)), split="infer", binary=True,
                          full=config.full_sequence, config=config, shuffle=False)

@@ -115,3 +115,60 @@ def import_torch_checkpoint(path: str, spec: ModelSpec) -> dict:
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
     return import_torch_state_dict(sd, spec)
+
+
+def is_torch_checkpoint(path: str) -> bool:
+    """Sniff whether ``path`` is a torch ``state_dict`` file (vs this
+    framework's npz checkpoints).
+
+    Both formats are zipfiles, so the extension alone is unreliable:
+    torch's zip serialization carries a ``data.pkl`` member while npz
+    members are ``*.npy``; legacy torch checkpoints are bare pickles
+    (``\\x80`` protocol byte).
+    """
+    import zipfile
+
+    try:
+        with zipfile.ZipFile(path) as zf:
+            names = zf.namelist()
+        if any(n.endswith("data.pkl") for n in names):
+            return True
+        if names and all(n.endswith(".npy") for n in names):
+            return False
+        return False
+    except zipfile.BadZipFile:
+        with open(path, "rb") as f:
+            return f.read(1) == b"\x80"  # pickle protocol marker
+
+
+def require_exact_reference_padding(config) -> None:
+    """Force exact-corpus-max padding for reference-checkpoint evaluation.
+
+    The reference pads graphs to the exact corpus max node count
+    (reference: immunostruct/data/preprocess.py:343-349) and its
+    ``global_mean_pool`` divides by that padded count while the node
+    attention softmax spans all padded rows
+    (hybrid_models.py:97, :326-327). Evaluating an imported checkpoint at a
+    different padded N (e.g. 283 rounded up to 288 by
+    ``pad_nodes_multiple=8``) therefore does NOT reproduce the reference's
+    logits. This mutates ``config`` to pad to the exact corpus max; callers
+    must do so BEFORE building the dataset.
+    """
+    if config.pad_nodes_multiple != 1:
+        print(f"reference checkpoint: overriding pad_nodes_multiple="
+              f"{config.pad_nodes_multiple} -> 1 (exact corpus max) so "
+              "mean-pool/attention numerics match the reference geometry")
+        config.pad_nodes_multiple = 1
+
+
+def load_any_checkpoint(path: str, like: dict, spec: ModelSpec,
+                        verbose: bool = True) -> dict:
+    """Load either a native npz checkpoint or a reference torch state_dict,
+    sniffed by content (see ``is_torch_checkpoint``)."""
+    if is_torch_checkpoint(path):
+        if verbose:
+            print(f"loading reference torch state_dict: {path}")
+        return import_torch_checkpoint(path, spec)
+    from immunostruct_tpu.utils.checkpoint import load_checkpoint
+
+    return load_checkpoint(path, like, verbose=verbose)

@@ -16,9 +16,14 @@ def fake_state_dict(spec, vae_dim, rng):
     sd = {}
 
     def lin(prefix, in_dim, out_dim, bias=True):
-        sd[f"{prefix}.weight"] = rng.standard_normal((out_dim, in_dim)).astype(np.float32)
+        # scaled like torch's default init so deep stacks (6 EGNN layers)
+        # stay finite when the imported weights are run forward
+        scale = 1.0 / np.sqrt(in_dim)
+        sd[f"{prefix}.weight"] = (scale * rng.standard_normal(
+            (out_dim, in_dim))).astype(np.float32)
         if bias:
-            sd[f"{prefix}.bias"] = rng.standard_normal((out_dim,)).astype(np.float32)
+            sd[f"{prefix}.bias"] = (scale * rng.standard_normal(
+                (out_dim,))).astype(np.float32)
 
     g = spec.gat_hidden_channels
     if spec.use_structure:
