@@ -167,3 +167,115 @@ class TestFeaturizePDB:
         name, x, coords, ei = featurize_pdb(path, use_native=False)
         from immunostruct_tpu.data.graphs import graph_key_from_name
         assert graph_key_from_name(name) == key
+
+
+def _edge_set(path, use_native):
+    _, _, _, ei = featurize_pdb(path, use_native=use_native)
+    return set(map(tuple, ei.T.tolist()))
+
+
+def _both_paths(path):
+    """Edge sets from the numpy rules and (when built) the C++ kernel."""
+    sets = [_edge_set(path, use_native=False)]
+    if native_available():
+        sets.append(_edge_set(path, use_native=True))
+    return sets
+
+
+class TestGoldenBoundary:
+    """Per-edge-type golden fixtures at boundary distances (VERDICT r1 #5):
+    hand-constructed PDBs where the documented rule (featurize/edges.py,
+    graphein's thresholds evaluated at CA granularity) has a derivable
+    answer, pinned through BOTH the numpy rules and the C++ kernel.
+    Residue numbers are spaced >1 apart so no peptide bond can mask a
+    distance-rule failure. PARITY.md 'Featurizer edge rules' records the
+    per-type criteria and the known CA-vs-atomic granularity caveat."""
+
+    def _fixture(self, tmp_path, tag, resnames, xs, resnums=None):
+        coords = np.asarray([[x, 0.0, 0.0] for x in xs], np.float32)
+        path = str(tmp_path / f"{tag}.pdb")
+        write_pdb(path, resnames, coords,
+                  resnums=resnums or [10 * (i + 1) for i in range(len(xs))])
+        return path
+
+    def test_hbond_donor_acceptor_boundary(self, tmp_path):
+        # SER(donor+acceptor) - THR(donor+acceptor): 3.45 < 3.5 connects
+        p_in = self._fixture(tmp_path, "hb_in", ["SER", "THR"], [0.0, 3.45])
+        # 3.55 > 3.5 does not
+        p_out = self._fixture(tmp_path, "hb_out", ["SER", "THR"], [0.0, 3.55])
+        for s in _both_paths(p_in):
+            assert s == {(0, 1), (1, 0)}
+        for s in _both_paths(p_out):
+            assert s == set()
+
+    def test_hbond_needs_donor_and_acceptor(self, tmp_path):
+        # ARG and LYS are donor-only: no H-bond even at 3.0 A (and no ionic:
+        # both positive; not hydrophobic; not consecutive)
+        p = self._fixture(tmp_path, "dd", ["ARG", "LYS"], [0.0, 3.0])
+        for s in _both_paths(p):
+            assert s == set()
+        # ASP and GLU are acceptor-only: likewise nothing at 3.0 A
+        p2 = self._fixture(tmp_path, "aa", ["ASP", "GLU"], [0.0, 3.0])
+        for s in _both_paths(p2):
+            assert s == set()
+
+    def test_hbond_sulfur_boundary(self, tmp_path):
+        # CYS carries S: threshold relaxes to 4.0 (CYS donor+acceptor)
+        p_in = self._fixture(tmp_path, "s_in", ["CYS", "SER"], [0.0, 3.95])
+        p_out = self._fixture(tmp_path, "s_out", ["CYS", "SER"], [0.0, 4.05])
+        for s in _both_paths(p_in):
+            assert s == {(0, 1), (1, 0)}
+        for s in _both_paths(p_out):
+            assert s == set()
+
+    def test_hydrophobic_boundary(self, tmp_path):
+        p_in = self._fixture(tmp_path, "hp_in", ["LEU", "VAL"], [0.0, 4.95])
+        p_out = self._fixture(tmp_path, "hp_out", ["LEU", "VAL"], [0.0, 5.05])
+        for s in _both_paths(p_in):
+            assert s == {(0, 1), (1, 0)}
+        for s in _both_paths(p_out):
+            assert s == set()
+
+    def test_hydrophobic_needs_both_sides(self, tmp_path):
+        # LEU-GLY at 4.0: GLY not hydrophobic; GLY/LEU have no donor or
+        # acceptor capability -> no edge at all
+        p = self._fixture(tmp_path, "hp_one", ["LEU", "GLY"], [0.0, 4.0])
+        for s in _both_paths(p):
+            assert s == set()
+
+    def test_ionic_boundary(self, tmp_path):
+        p_in = self._fixture(tmp_path, "io_in", ["LYS", "GLU"], [0.0, 5.95])
+        p_out = self._fixture(tmp_path, "io_out", ["LYS", "GLU"], [0.0, 6.05])
+        for s in _both_paths(p_in):
+            assert s == {(0, 1), (1, 0)}
+        for s in _both_paths(p_out):
+            assert s == set()
+
+    def test_ionic_his_counts_positive(self, tmp_path):
+        # HIS is in graphein's positive set; HIS(donor+acceptor himself) and
+        # ASP(acceptor): at 5.0 A only the ionic rule fires (hbond needs
+        # < 3.5)
+        p = self._fixture(tmp_path, "io_his", ["HIS", "ASP"], [0.0, 5.0])
+        for s in _both_paths(p):
+            assert s == {(0, 1), (1, 0)}
+
+    def test_peptide_bond_requires_consecutive_numbering(self, tmp_path):
+        # same chain, resnums 10 and 12: spatially adjacent GLYs but a
+        # numbering gap -> no peptide bond (and GLY has no other rule)
+        p = self._fixture(tmp_path, "pb_gap", ["GLY", "GLY"], [0.0, 3.8],
+                          resnums=[10, 12])
+        for s in _both_paths(p):
+            assert s == set()
+        # consecutive numbering connects regardless of distance
+        p2 = self._fixture(tmp_path, "pb_far", ["GLY", "GLY"], [0.0, 80.0],
+                           resnums=[10, 11])
+        for s in _both_paths(p2):
+            assert s == {(0, 1), (1, 0)}
+
+    def test_multi_rule_union(self, tmp_path):
+        """Rules union into one undirected edge set: TYR-TYR at 3.4 is both
+        an H-bond (donor+acceptor both sides) and hydrophobic -> exactly one
+        edge pair, not duplicates."""
+        p = self._fixture(tmp_path, "union", ["TYR", "TYR"], [0.0, 3.4])
+        for s in _both_paths(p):
+            assert s == {(0, 1), (1, 0)}
