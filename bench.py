@@ -7,9 +7,17 @@ nodes (283-node pMHC graphs rounded to tiling, SURVEY.md section 3.3),
 2560 padded directed edges (~9 average degree contact graphs), full
 283*21-style one-hot sequences.
 
+Methodology (round 2, VERDICT #1): fixed windows of WINDOW_STEPS steps,
+REPEATS windows; the HEADLINE value is the MEDIAN window rate (not
+best-of — the shared-tunnel TPU pool shows large dispatch variance, and
+the median is the honest estimate). p50/p95 step times, the analytic model
+FLOPs (utils/flops.py — segment-sum math, not the one-hot implementation),
+XLA's as-compiled FLOPs, and MFU against the chip's bf16 peak are reported
+alongside in the same JSON line.
+
 Prints ONE JSON line:
   {"metric": "train_samples_per_sec_per_chip", "value": N,
-   "unit": "pMHC/s", "vs_baseline": N}
+   "unit": "pMHC/s", "vs_baseline": N, ...accounting keys...}
 
 vs_baseline: the reference publishes no throughput numbers
 (BASELINE.json "published": {}). The denominator is a documented estimate
@@ -21,6 +29,7 @@ north star asks for >= 10x, i.e. vs_baseline >= 10.
 from __future__ import annotations
 
 import json
+import statistics
 import time
 
 import numpy as np
@@ -33,16 +42,9 @@ EDGES = 2560
 SEQ_LEN = 284  # ~283-token chains
 
 
-def main():
-    import jax
+def build_inputs():
     import jax.numpy as jnp
-    from immunostruct_tpu.config import enable_compilation_cache
-    enable_compilation_cache()
-    from immunostruct_tpu.models import build_model
-    from immunostruct_tpu.procedures.train import Trainer, make_optimizer
     from immunostruct_tpu.structs import GraphBatch, SampleBatch
-    from immunostruct_tpu.utils.losses import LossConfig
-    from immunostruct_tpu.utils.schedule import constant_lr
 
     rng = np.random.default_rng(0)
     onehot = np.zeros((BATCH, NODES, 20), np.float32)
@@ -61,46 +63,99 @@ def main():
     seq = jnp.asarray(rng.random((BATCH, SEQ_LEN, 21)).astype(np.float32))
     props = jnp.asarray(rng.random((BATCH, 2)).astype(np.float32))
     target = jnp.asarray((rng.random(BATCH) > 0.5).astype(np.float32))
-    batch = SampleBatch(graph=graph, seq_onehot=seq, props=props,
-                        target=target, aux_residue=None)
+    return SampleBatch(graph=graph, seq_onehot=seq, props=props,
+                       target=target, aux_residue=None)
 
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from immunostruct_tpu.config import enable_compilation_cache
+    enable_compilation_cache()
+    from immunostruct_tpu.models import build_model
+    from immunostruct_tpu.procedures.train import Trainer, make_optimizer
+    from immunostruct_tpu.utils.flops import (
+        train_step_flops, param_count, peak_flops,
+    )
+    from immunostruct_tpu.utils.losses import LossConfig
+    from immunostruct_tpu.utils.schedule import constant_lr
+
+    batch = build_inputs()
     vae_dim = SEQ_LEN * 21
     spec, params = build_model("HybridModelv2", vae_dim, jax.random.key(0))
     loss_cfg = LossConfig(vae_dim, pos_weight=1.0, sequence=True)
     optimizer = make_optimizer("adam", constant_lr(1e-3))
 
-    platform = jax.devices()[0].platform
+    device = jax.devices()[0]
+    platform = device.platform
     compute_dtype = jnp.bfloat16 if platform == "tpu" else jnp.float32
     trainer = Trainer(spec, loss_cfg, binary=True, optimizer=optimizer,
                       aggregation="auto", compute_dtype=compute_dtype,
                       donate=True)
     state = trainer.init_state(params)
+    n_params = param_count(state.params)
     key = jax.random.key(1)
 
-    # warmup/compile
-    state, loss = trainer._train_step(state, batch, key)
+    # warmup/compile (+2 extra steps to flush first-dispatch effects)
+    for _ in range(3):
+        state, loss = trainer._train_step(state, batch, key)
     jax.block_until_ready(loss)
 
-    # repeat and keep the best window: the shared-tunnel TPU pool shows
-    # large run-to-run dispatch variance, and the best window is the
-    # closest estimate of the chip's actual step time
-    steps = 30 if platform == "tpu" else 3
-    repeats = 5 if platform == "tpu" else 1
-    best_dt = float("inf")
+    # as-compiled cost analysis from the SAME executable (no extra compile)
+    xla_flops = None
+    xla_bytes = None
+    try:
+        cost = trainer._train_step.lower(state, batch, key).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0] if cost else {}
+        if cost:
+            xla_flops = float(cost.get("flops", 0.0)) or None
+            xla_bytes = float(cost.get("bytes accessed", 0.0)) or None
+    except Exception:  # noqa: BLE001 - backends without cost analysis
+        pass
+
+    window_steps = 20 if platform == "tpu" else 3
+    repeats = 10 if platform == "tpu" else 2
+    window_dts = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        for _ in range(steps):
+        for _ in range(window_steps):
             state, loss = trainer._train_step(state, batch, key)
         jax.block_until_ready(loss)
-        best_dt = min(best_dt, time.perf_counter() - t0)
+        window_dts.append(time.perf_counter() - t0)
 
-    samples_per_sec = BATCH * steps / best_dt
-    print(json.dumps({
+    step_ms = sorted(dt / window_steps * 1e3 for dt in window_dts)
+    p50 = statistics.median(step_ms)
+    p95 = step_ms[min(len(step_ms) - 1, int(round(0.95 * (len(step_ms) - 1))))]
+    best = step_ms[0]
+    samples_per_sec = BATCH / (p50 / 1e3)
+
+    model_flops = train_step_flops(spec, BATCH, NODES, EDGES, vae_dim,
+                                   n_params=n_params)
+    peak = peak_flops(device, "bfloat16" if platform == "tpu" else "float32")
+    achieved = model_flops / (p50 / 1e3)
+    out = {
         "metric": "train_samples_per_sec_per_chip",
         "value": round(samples_per_sec, 2),
         "unit": "pMHC/s",
         "vs_baseline": round(samples_per_sec / ASSUMED_REFERENCE_SAMPLES_PER_SEC, 3),
-    }))
+        "ms_per_step_p50": round(p50, 3),
+        "ms_per_step_p95": round(p95, 3),
+        "ms_per_step_best": round(best, 3),
+        "windows": repeats,
+        "window_steps": window_steps,
+        "batch": BATCH,
+        "model_tflops_per_step": round(model_flops / 1e12, 4),
+        "model_tflops_per_sec": round(achieved / 1e12, 2),
+        "mfu_pct": round(100.0 * achieved / peak, 2) if peak else None,
+        "xla_tflops_per_step": (round(xla_flops / 1e12, 4)
+                                if xla_flops is not None else None),
+        "xla_gb_accessed_per_step": (round(xla_bytes / 1e9, 3)
+                                     if xla_bytes is not None else None),
+        "n_params": n_params,
+        "device": getattr(device, "device_kind", platform),
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -115,6 +115,31 @@ class TestEGNN:
         np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), rtol=1e-4, atol=1e-5)
 
+    def test_onehot_remat_matches_onehot_values_and_grads(self, rng):
+        """'onehot_remat' is the same math with different residency: values
+        AND gradients must match the plain one-hot path."""
+        b, n, e = 3, 9, 20
+        hs, xs, srcs, dsts = zip(*[random_graph(rng, n, e) for _ in range(b)])
+        h = jnp.asarray(np.stack(hs))
+        x = jnp.asarray(np.stack(xs))
+        src = jnp.asarray(np.stack(srcs))
+        dst = jnp.asarray(np.stack(dsts))
+        ef = jnp.ones((b, e, 1))
+        em = jnp.asarray(rng.random((b, e)) > 0.3)
+        params = egnn_stack_init(jax.random.key(4), 3, 20, 16)
+
+        def loss(params, agg):
+            ho, xo = egnn_stack_apply(params, h, x, src, dst, ef, em,
+                                      aggregation=agg)
+            return jnp.sum(ho ** 2) + jnp.sum(xo ** 2)
+
+        v1, g1 = jax.value_and_grad(lambda p: loss(p, "onehot"))(params)
+        v2, g2 = jax.value_and_grad(lambda p: loss(p, "onehot_remat"))(params)
+        np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+        for a, b_ in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-4, atol=1e-5)
+
 
 class TestAttention:
     def test_self_attention_math(self, rng):
