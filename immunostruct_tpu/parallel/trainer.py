@@ -55,12 +55,23 @@ def make_sharded_trainer(spec, loss_cfg: LossConfig, *, binary: bool,
     return trainer
 
 
-def shard_map_train_step(trainer: Trainer, mesh: Mesh, axis_name: str = "data"):
-    """Explicit-SPMD train step: per-shard grads + pmean over the data axis.
+def shard_map_train_step(trainer: Trainer, mesh: Mesh, axis_name: str = "data",
+                         reduce: str = "psum"):
+    """Explicit-SPMD train step: per-shard grads + mean-reduce over the data
+    axis.
 
     Returns a jitted (state, batch, rng) -> (state, loss) function. The batch
     must be sharded with ``shard_batch`` (equal shard sizes).
+
+    ``reduce``: 'psum' uses XLA's all-reduce; 'ring' uses the hand-written
+    ring schedule from parallel/collectives.py (same numerics up to float
+    reassociation) — manual control of collective placement, and the hook
+    point for custom overlap schedules.
     """
+    from immunostruct_tpu.parallel.collectives import ring_pmean
+
+    mean_reduce = (ring_pmean if reduce == "ring"
+                   else lambda x, ax: jax.lax.pmean(x, ax))
 
     def per_shard(state: TrainState, batch, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
@@ -68,8 +79,8 @@ def shard_map_train_step(trainer: Trainer, mesh: Mesh, axis_name: str = "data"):
         rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
         loss, grads = jax.value_and_grad(trainer._batch_loss)(
             state.params, batch, rng, False)
-        grads = jax.lax.pmean(grads, axis_name)
-        loss = jax.lax.pmean(loss, axis_name)
+        grads = jax.tree.map(lambda g: mean_reduce(g, axis_name), grads)
+        loss = mean_reduce(loss, axis_name)
         updates, opt_state = trainer.optimizer.update(grads, state.opt_state,
                                                       state.params)
         params = optax.apply_updates(state.params, updates)

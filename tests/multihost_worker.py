@@ -1,0 +1,94 @@
+"""Worker process for the 2-process multi-host simulation test.
+
+Usage: python multihost_worker.py <process_id> <port>
+
+Each of the 2 processes owns 4 virtual CPU devices; together they form one
+8-device global ``data`` mesh spanning both processes (the DCN-analog
+topology — collectives cross the process boundary via gloo). The worker
+runs ONE comparative DP train step on a deterministic batch, taking its
+process-local rows via ``shard_indices_for_process``, and prints the
+resulting global loss. The parent test asserts both processes agree with
+each other AND with a single-process 8-device run of the same step.
+"""
+
+import os
+import sys
+
+
+def main():
+    process_id, port = int(sys.argv[1]), sys.argv[2]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+
+    from immunostruct_tpu.parallel.mesh import (
+        initialize_distributed, make_mesh, shard_indices_for_process,
+    )
+
+    initialize_distributed(coordinator_address=f"localhost:{port}",
+                           num_processes=2, process_id=process_id)
+    assert jax.process_count() == 2
+    assert len(jax.devices()) == 8
+
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import __graft_entry__ as ge
+    from immunostruct_tpu.models import build_model
+    from immunostruct_tpu.procedures.train import Trainer, make_optimizer
+    from immunostruct_tpu.structs import SampleBatch, ComparativeBatch
+    from immunostruct_tpu.utils.losses import LossConfig
+    from immunostruct_tpu.utils.schedule import constant_lr
+
+    mesh = make_mesh("data")
+    batch_size, nodes, edges, seq_len = 16, 16, 64, 32
+    graph, seq, props = ge._example_inputs(batch_size, nodes, edges, seq_len,
+                                           key_seed=7)
+    target = jnp.asarray((np.arange(batch_size) % 2).astype(np.float32))
+    sample = SampleBatch(graph=graph, seq_onehot=seq, props=props,
+                         target=target, aux_residue=None)
+    cbatch = ComparativeBatch(cancer=sample, wt=sample)
+
+    # host-side data sharding: this process's contiguous half of the batch
+    mine = shard_indices_for_process(np.arange(batch_size), process_id, 2)
+    assert len(mine) == batch_size // 2
+
+    batch_sharding = NamedSharding(mesh, P("data"))
+
+    def to_global(x):
+        local = np.asarray(x)[np.asarray(mine)]
+        return jax.make_array_from_process_local_data(batch_sharding, local)
+
+    gbatch = jax.tree.map(to_global, cbatch)
+
+    spec, params = build_model("HybridModelv2_Comparative", seq_len * 21,
+                               jax.random.key(0), use_wt_for_downstream=True)
+    trainer = Trainer(spec, LossConfig(seq_len * 21, 1.0, sequence=True),
+                      binary=True,
+                      optimizer=make_optimizer("adamw", constant_lr(1e-3),
+                                               weight_decay=1e-6),
+                      coeff_contrastive=0.1, aggregation="onehot",
+                      donate=False)
+    state = trainer.init_state(params, jax.random.key(2))
+
+    replicated = NamedSharding(mesh, P())
+
+    def to_replicated(x):
+        return jax.make_array_from_process_local_data(replicated, np.asarray(x))
+
+    state = jax.tree.map(to_replicated, state)
+
+    state, loss = trainer._train_step(state, gbatch, jax.random.key(3))
+    print(f"MULTIHOST_LOSS={float(loss):.10f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -59,6 +59,26 @@ class TestCollectives:
         out = np.asarray(fn(x))
         np.testing.assert_allclose(out, np.roll(np.arange(8.0), 1))
 
+    @pytest.mark.parametrize("shape", [(), (5,), (8,), (3, 7), (16, 9)])
+    def test_ring_all_reduce_matches_psum(self, mesh, shape, rng):
+        """The hand-written ring schedule == XLA's all-reduce for scalars,
+        non-divisible sizes, and multi-dim tensors."""
+        from immunostruct_tpu.parallel.collectives import ring_all_reduce
+
+        per_shard = rng.standard_normal((8,) + shape).astype(np.float32)
+
+        def f(x):
+            x = x.reshape(shape)  # drop the leading shard axis
+            return ring_all_reduce(x)[None], psum(x)[None]
+
+        fn = shard_map(jax.jit(f), mesh=mesh, in_specs=P("data"),
+                       out_specs=(P("data"), P("data")))
+        ring, ref = fn(jnp.asarray(per_shard))
+        np.testing.assert_allclose(np.asarray(ring), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ring)[0],
+                                   per_shard.sum(0), rtol=1e-4, atol=1e-5)
+
 
 def _setup(tmp_path, batch_size=16):
     cfg = Config(batch_size=batch_size, num_epochs=1, pad_nodes_multiple=4,
@@ -121,6 +141,24 @@ class TestShardedTraining:
                             jax.tree.leaves(new_state.params)))
         assert changed
         assert int(new_state.step) == 1
+
+    def test_shard_map_ring_reduce_matches_psum_step(self, tmp_path, mesh):
+        """reduce='ring' and reduce='psum' produce the same loss and params
+        (up to reassociation) from the same state/batch/rng."""
+        cfg, spec, params, loss_cfg, batch = _setup(tmp_path)
+        opt = make_optimizer("adam", constant_lr(1e-3))
+        trainer = Trainer(spec, loss_cfg, binary=False, optimizer=opt,
+                          aggregation="scatter", donate=False)
+        state = replicate_tree(trainer.init_state(params), mesh)
+        batch = shard_batch(batch, mesh)
+        s1, l1 = shard_map_train_step(trainer, mesh, reduce="psum")(
+            state, batch, jax.random.key(4))
+        s2, l2 = shard_map_train_step(trainer, mesh, reduce="ring")(
+            state, batch, jax.random.key(4))
+        assert float(l1) == pytest.approx(float(l2), rel=1e-5)
+        for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
 
     def test_fit_epoch_sharded(self, tmp_path, mesh):
         """A full sharded epoch via Trainer.fit with automatic batch placement."""
