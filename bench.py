@@ -9,11 +9,18 @@ nodes (283-node pMHC graphs rounded to tiling, SURVEY.md section 3.3),
 
 Methodology (round 2, VERDICT #1): fixed windows of WINDOW_STEPS steps,
 REPEATS windows; the HEADLINE value is the MEDIAN window rate (not
-best-of — the shared-tunnel TPU pool shows large dispatch variance, and
-the median is the honest estimate). p50/p95 step times, the analytic model
-FLOPs (utils/flops.py — segment-sum math, not the one-hot implementation),
-XLA's as-compiled FLOPs, and MFU against the chip's bf16 peak are reported
-alongside in the same JSON line.
+best-of). Each window ends with a VALUE FETCH of the final loss, not
+``block_until_ready``: through this environment's remote-dispatch tunnel
+``block_until_ready`` is sometimes a no-op (measured: a "blocked" window
+at 1.2 ms/step followed by a 105 s drain on the first value fetch), so
+fetching the scalar is the only honest execution barrier. Windows are long
+(100 steps) to amortize the ~30 ms fetch roundtrip. p50/p95 step times,
+the analytic model FLOPs (utils/flops.py — segment-sum math, not the
+one-hot implementation), XLA's as-compiled FLOPs, and MFU against the
+chip's bf16 peak are reported alongside in the same JSON line.
+NOTE: the tunnel TPU is pool-shared; observed honest step times at these
+shapes ranged 3.5-160 ms across hours (pool load). The JSON reflects the
+run's actual conditions; benchmarks/RESULTS.md records the distribution.
 
 Prints ONE JSON line:
   {"metric": "train_samples_per_sec_per_chip", "value": N,
@@ -96,10 +103,11 @@ def main():
     n_params = param_count(state.params)
     key = jax.random.key(1)
 
-    # warmup/compile (+2 extra steps to flush first-dispatch effects)
+    # warmup/compile (+2 extra steps to flush first-dispatch effects);
+    # float() is the honest barrier (see module docstring)
     for _ in range(3):
         state, loss = trainer._train_step(state, batch, key)
-    jax.block_until_ready(loss)
+    float(loss)
 
     # as-compiled cost analysis from the SAME executable (no extra compile)
     xla_flops = None
@@ -114,14 +122,14 @@ def main():
     except Exception:  # noqa: BLE001 - backends without cost analysis
         pass
 
-    window_steps = 20 if platform == "tpu" else 3
-    repeats = 10 if platform == "tpu" else 2
+    window_steps = 100 if platform == "tpu" else 3
+    repeats = 5 if platform == "tpu" else 2
     window_dts = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         for _ in range(window_steps):
             state, loss = trainer._train_step(state, batch, key)
-        jax.block_until_ready(loss)
+        float(loss)  # value fetch: the only reliable execution barrier here
         window_dts.append(time.perf_counter() - t0)
 
     step_ms = sorted(dt / window_steps * 1e3 for dt in window_dts)

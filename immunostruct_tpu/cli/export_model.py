@@ -27,6 +27,10 @@ def main(argv=None):
     p.add_argument("--max-nodes", default=288, type=int)
     p.add_argument("--max-edges", default=2560, type=int)
     p.add_argument("--seq-len", default=284, type=int)
+    p.add_argument("--int8", action="store_true",
+                   help="weight-only int8 (per-out-channel symmetric) fake-"
+                        "quantized weights baked into the artifact; see "
+                        "utils/quantize.py for the accuracy methodology")
     args = p.parse_args(argv)
     config = to_config(args)
 
@@ -47,6 +51,9 @@ def main(argv=None):
     spec, params = build_model(config.model, l * 21, jax.random.key(config.seed),
                                use_wt_for_downstream=args.use_wt_for_downstream)
     params = load_checkpoint(args.checkpoint, params)
+    if args.int8:
+        from immunostruct_tpu.utils.quantize import fake_quant_int8
+        params = fake_quant_int8(params)
 
     exported = export_inference_fn(
         spec, params, (graph, seq, props), aggregation=config.aggregation,

@@ -142,10 +142,20 @@ class ImmunoDataset:
     @classmethod
     def from_joined(cls, config, corpus: GraphCorpus, name_mapper: dict,
                     f_dict: dict, fp2_dict: dict, imm_dict: dict,
-                    verbose: bool = True) -> "ImmunoDataset":
+                    verbose: bool = True, pairs: Optional[list] = None) -> "ImmunoDataset":
         # two-sided join (preprocess.py:147-173)
+        #
+        # ``pairs``: optional ordered pep_pair list, possibly with
+        # DUPLICATES. The comparative path needs it: two cancer mutants can
+        # share one WT peptide+allele, and the reference keeps one aligned
+        # WT row per combined-table row (preprocess.py:188-266 iterates
+        # rows, resolving dict lookups per row) — deduping by pep_pair here
+        # would misalign the twins. Found by the real cedar corpus (2,710
+        # combined rows, 2,686 unique WT pep_pairs).
         corpus_index = corpus.index()
-        rows = [(pair, v) for pair, v in name_mapper.items() if v[1] in corpus_index]
+        items = (list(name_mapper.items()) if pairs is None
+                 else [(p, name_mapper[p]) for p in pairs])
+        rows = [(pair, v) for pair, v in items if v[1] in corpus_index]
         if not rows:
             raise ValueError(
                 "sequence/graph join produced 0 rows: no pep_pair chain key "
@@ -225,18 +235,22 @@ class ComparativeDataset:
         fp2_c = dict(zip(combined["pep_pair_cancer"],
                          zip(combined["Mprop1"], combined["Mprop2"])))
         imm_c = dict(zip(combined["pep_pair_cancer"], combined["immunogenicity"]))
-        mapper_c = {k: v for k, v in mapper_c.items() if k in f_c}
-        cancer_ds = ImmunoDataset.from_joined(config, corpus_c, mapper_c, f_c, fp2_c, imm_c)
+        cancer_ds = ImmunoDataset.from_joined(
+            config, corpus_c, mapper_c, f_c, fp2_c, imm_c,
+            pairs=combined["pep_pair_cancer"].tolist())
 
         # WT rows: label forced 0, foreignness = corpus minimum
-        # (immmunopred_dataloader.py:182-183)
+        # (immmunopred_dataloader.py:182-183). Row order follows the
+        # combined table (duplicate WT pep_pairs stay duplicated) so the
+        # twins align 1:1 with the cancer side.
         wt_min = float(combined["smoothed_foreign"].min())
         f_w = {k: wt_min for k in combined["pep_pair_wt"]}
         fp2_w = dict(zip(combined["pep_pair_wt"],
                          zip(combined["Mprop1_wt"], combined["Mprop2_wt"])))
         imm_w = {k: 0.0 for k in combined["pep_pair_wt"]}
-        mapper_w = {k: v for k, v in mapper_w.items() if k in f_w}
-        wt_ds = ImmunoDataset.from_joined(config, corpus_w, mapper_w, f_w, fp2_w, imm_w)
+        wt_ds = ImmunoDataset.from_joined(
+            config, corpus_w, mapper_w, f_w, fp2_w, imm_w,
+            pairs=combined["pep_pair_wt"].tolist())
 
         if len(cancer_ds) != len(wt_ds):
             raise ValueError(f"cancer/WT row mismatch: {len(cancer_ds)} vs {len(wt_ds)}")

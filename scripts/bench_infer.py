@@ -1,12 +1,20 @@
-"""Serving-path inference throughput at reference shapes.
+"""Serving-path inference throughput at reference shapes, f32/bf16 vs int8.
 
 Measures the deterministic forward (probabilities) of HybridModelv2 at
 batch 128 / 288 nodes / 2560 edges — the per-chip pMHC scoring rate for
-batch inference and clinical scoring workloads.
+batch inference and clinical scoring workloads — plus the weight-only int8
+row (utils/quantize.py) with its measured accuracy delta against the
+full-precision probabilities.
+
+Methodology: successive calls are data-chained (each call's props carry a
+tiny function of the previous probabilities) so the remote-dispatch tunnel
+cannot cache identical executions, and every window ends with a VALUE
+FETCH (block_until_ready is not a reliable barrier here; see bench.py).
 """
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -22,6 +30,7 @@ def main(batch=128, nodes=288, edges=2560, seq_len=284):
     enable_compilation_cache()
     from immunostruct_tpu.models import build_model
     from immunostruct_tpu.models.trunk import model_apply
+    from immunostruct_tpu.utils.quantize import fake_quant_int8, quantized_size_bytes
     from scripts.perf_sweep import build_batch
 
     b = build_batch(batch, nodes, edges, seq_len)
@@ -30,28 +39,47 @@ def main(batch=128, nodes=288, edges=2560, seq_len=284):
     spec, params = build_model("HybridModelv2", seq_len * 21, jax.random.key(0))
 
     @jax.jit
-    def infer(params, graph, seq, props, key):
-        out = model_apply(params, spec, graph, seq, props, key,
+    def infer(params, graph, seq, props, prev):
+        props = props + 1e-12 * jnp.mean(prev)   # data-chain successive calls
+        out = model_apply(params, spec, graph, seq, props, jax.random.key(1),
                           deterministic=True, aggregation="auto",
                           compute_dtype=dtype)
         return jax.nn.sigmoid(out.logits.reshape(-1))
 
-    key = jax.random.key(1)
-    probs = infer(params, b.graph, b.seq_onehot, b.props, key)
-    jax.block_until_ready(probs)
-
     steps = 50 if platform == "tpu" else 3
-    best = float("inf")
-    for _ in range(5 if platform == "tpu" else 1):
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            probs = infer(params, b.graph, b.seq_onehot, b.props, key)
-        jax.block_until_ready(probs)
-        best = min(best, time.perf_counter() - t0)
+    windows = 5 if platform == "tpu" else 1
 
-    sps = batch * steps / best
+    def timed(p):
+        prev = jnp.zeros((batch,))
+        probs = infer(p, b.graph, b.seq_onehot, b.props, prev)
+        np.asarray(probs)  # warm + honest barrier
+        dts = []
+        for _ in range(windows):
+            prev = jnp.zeros((batch,))
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                prev = infer(p, b.graph, b.seq_onehot, b.props, prev)
+            host = np.asarray(prev)  # value fetch = the execution barrier
+            dts.append(time.perf_counter() - t0)
+        return batch * steps / statistics.median(dts), host
+
+    sps_f32, probs_full = timed(params)
+
+    qparams = fake_quant_int8(params)
+    sps_int8, probs_int8 = timed(qparams)
+    f32_bytes, int8_bytes = quantized_size_bytes(params)
+
+    # accuracy delta on deterministic probabilities (identical inputs)
+    dprob = np.abs(probs_full - probs_int8)
     print(json.dumps({"metric": "infer_samples_per_sec_per_chip",
-                      "value": round(sps, 1), "unit": "pMHC/s",
+                      "value": round(sps_f32, 1), "unit": "pMHC/s",
+                      "platform": platform}))
+    print(json.dumps({"metric": "infer_int8_samples_per_sec_per_chip",
+                      "value": round(sps_int8, 1), "unit": "pMHC/s",
+                      "max_abs_prob_delta": round(float(dprob.max()), 6),
+                      "mean_abs_prob_delta": round(float(dprob.mean()), 6),
+                      "artifact_bytes_f32": f32_bytes,
+                      "artifact_bytes_int8": int8_bytes,
                       "platform": platform}))
 
 

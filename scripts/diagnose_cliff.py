@@ -34,17 +34,34 @@ EDGES = 2560
 SEQ_LEN = 284
 
 
-def _median_ms(fn, args, steps=20, windows=5):
+def _fetch(out):
+    """Value-fetch barrier: through the remote-dispatch tunnel
+    ``block_until_ready`` is sometimes a no-op; converting (part of) the
+    result to host values is the only reliable execution barrier."""
     import jax
+    import numpy as np
 
+    leaf = jax.tree.leaves(out)[-1]
+    np.asarray(jax.device_get(leaf)).ravel()[:1]
+
+
+def _median_ms(fn, args, steps=50, windows=3, chain=None):
+    """Median window ms/step with honest (value-fetch) barriers.
+
+    ``chain``: optional (next_args, out) -> args function so successive
+    calls form a data dependency (defeats any dispatch caching of identical
+    calls AND forces serial execution)."""
     out = fn(*args)  # compile
-    jax.block_until_ready(out)
+    _fetch(out)
     dts = []
     for _ in range(windows):
+        a = args
         t0 = time.perf_counter()
         for _ in range(steps):
-            out = fn(*args)
-        jax.block_until_ready(out)
+            out = fn(*a)
+            if chain is not None:
+                a = chain(a, out)
+        _fetch(out)
         dts.append((time.perf_counter() - t0) / steps * 1e3)
     return statistics.median(dts)
 
@@ -66,45 +83,86 @@ def _cost(jitted, *args):
         return {"cost_error": str(e)[:120]}
 
 
-def probe_matmuls(results):
+def probe_matmuls(results, iters=64):
+    """Device-true rates: K serially-chained iterations inside ONE jitted
+    lax.scan, timed with a value-fetch barrier — immune to dispatch caching
+    and to unreliable host-side barriers."""
     import jax
     import jax.numpy as jnp
+    from functools import partial
 
-    for m in (2048, 4096, 8192):
-        a = jnp.ones((m, m), jnp.bfloat16)
-        f = jax.jit(lambda a: a @ a)
-        ms = _median_ms(f, (a,), steps=10)
-        tf = 2 * m ** 3 / (ms / 1e3) / 1e12
-        results[f"probe_square_{m}"] = {"ms": round(ms, 3), "tflops": round(tf, 1)}
-        print(f"square {m}: {ms:.3f} ms -> {tf:.1f} TF/s")
+    def timed(f, args, flops_per_iter, tag):
+        out = f(*args)
+        _fetch(out)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = f(*args)
+            _fetch(out)
+            best = min(best, time.perf_counter() - t0)
+        ms = best / iters * 1e3
+        tf = flops_per_iter / (ms / 1e3) / 1e12
+        results[tag] = {"ms_per_iter": round(ms, 4), "tflops": round(tf, 1)}
+        print(f"{tag}: {ms:.4f} ms/iter -> {tf:.1f} TF/s")
 
-    # edge-MLP shape: [B*E, 130] @ [130, 64] at B=128
+    for m in (2048, 4096):
+        a0 = (np.random.default_rng(0).standard_normal((m, m)) / m).astype(np.float32)
+
+        @partial(jax.jit, static_argnums=())
+        def sq(a):
+            def body(c, _):
+                c = c @ c
+                # renormalize so values stay finite over many iterations
+                return c / (jnp.max(jnp.abs(c)) + 1e-6), None
+            c, _ = jax.lax.scan(body, a, None, length=iters)
+            return c
+
+        timed(sq, (jnp.asarray(a0, jnp.bfloat16),), 2 * m ** 3, f"probe_square_{m}")
+
+    # edge-MLP shape at B=128: [B*E,130]@[130,64] then [B*E,64]@[64,130]
     be = 128 * EDGES
-    a = jnp.ones((be, 130), jnp.bfloat16)
-    w = jnp.ones((130, 64), jnp.bfloat16)
-    f = jax.jit(lambda a, w: a @ w)
-    ms = _median_ms(f, (a, w), steps=10)
-    tf = 2 * be * 130 * 64 / (ms / 1e3) / 1e12
-    results["probe_edge_mlp"] = {"ms": round(ms, 3), "tflops": round(tf, 1)}
-    print(f"edge-mlp [{be},130]@[130,64]: {ms:.3f} ms -> {tf:.1f} TF/s")
+    a0 = jnp.asarray(np.random.default_rng(1).standard_normal((be, 130)) * 0.01,
+                     jnp.bfloat16)
+    w1 = jnp.asarray(np.random.default_rng(2).standard_normal((130, 64)) * 0.1,
+                     jnp.bfloat16)
+    w2 = jnp.asarray(np.random.default_rng(3).standard_normal((64, 130)) * 0.1,
+                     jnp.bfloat16)
 
-    # aggregation einsum at bench shapes, B=128, C=67
+    @jax.jit
+    def mlp(a, w1, w2):
+        def body(c, _):
+            y = c @ w1
+            c = c + y @ w2
+            return c / (jnp.max(jnp.abs(c)) + 1e-6), None
+        c, _ = jax.lax.scan(body, a, None, length=iters)
+        return c
+
+    timed(mlp, (a0, w1, w2), 2 * 2 * be * 130 * 64, "probe_edge_mlp_chain")
+
+    # aggregation einsum + gather at bench shapes, B=128, C=67
     bsz, c = 128, 67
     dst = jnp.asarray(np.random.default_rng(0).integers(
         0, NODES, (bsz, EDGES)).astype(np.int32))
-    msgs = jnp.ones((bsz, EDGES, c), jnp.bfloat16)
+    msgs0 = jnp.asarray(
+        np.random.default_rng(4).standard_normal((bsz, EDGES, c)) * 0.01,
+        jnp.bfloat16)
 
-    def agg(dst, msgs):
+    @jax.jit
+    def agg_chain(dst, msgs):
         onehot = jax.nn.one_hot(dst, NODES, dtype=jnp.bfloat16, axis=1)
-        return jnp.einsum("bne,bec->bnc", onehot, msgs,
-                          preferred_element_type=jnp.float32)
 
-    f = jax.jit(agg)
-    ms = _median_ms(f, (dst, msgs), steps=10)
-    tf = 2 * bsz * NODES * EDGES * c / (ms / 1e3) / 1e12
-    results["probe_onehot_agg"] = {"ms": round(ms, 3), "tflops": round(tf, 1),
-                                   **_cost(f, dst, msgs)}
-    print(f"one-hot agg einsum B=128: {ms:.3f} ms -> {tf:.1f} TF/s (counting matmul flops)")
+        def body(m, _):
+            out = jnp.einsum("bne,bec->bnc", onehot, m,
+                             preferred_element_type=jnp.float32)
+            m = m + jnp.take_along_axis(
+                out, dst[..., None], axis=1).astype(m.dtype)
+            return m / (jnp.max(jnp.abs(m)) + 1e-6), None
+
+        m, _ = jax.lax.scan(body, msgs, None, length=iters)
+        return m
+
+    timed(agg_chain, (dst, msgs0), 2 * bsz * NODES * EDGES * c,
+          "probe_onehot_agg_chain")
 
 
 def build_batch(bsz):
@@ -146,15 +204,20 @@ def step_config(model_name, bsz, aggregation, train=True):
     dtype = jnp.bfloat16 if jax.devices()[0].platform == "tpu" else jnp.float32
 
     if not train:
-        def fwd(params, graph, seq, props):
+        def fwd(params, graph, seq, props, prev):
+            # chain prev logits into the input so successive calls are
+            # data-dependent (defeats dispatch caching, forces serial exec)
+            props = props + 1e-12 * jnp.mean(prev)
             return model_apply(params, spec, graph, seq, props,
                                jax.random.key(1), deterministic=True,
                                aggregation=aggregation,
                                compute_dtype=dtype).logits
 
         f = jax.jit(fwd)
-        args = (params, batch.graph, batch.seq_onehot, batch.props)
-        ms = _median_ms(f, args, steps=10)
+        prev = jnp.zeros((bsz, 1))
+        args = (params, batch.graph, batch.seq_onehot, batch.props, prev)
+        chain = lambda a, out: a[:4] + (out,)  # noqa: E731
+        ms = _median_ms(f, args, steps=20, chain=chain)
         return {"ms": round(ms, 3), **_cost(f, *args)}
 
     trainer = Trainer(spec, LossConfig(vae_dim, 1.0, sequence=spec.use_sequence),
@@ -165,11 +228,10 @@ def step_config(model_name, bsz, aggregation, train=True):
     state = trainer.init_state(params)
     key = jax.random.key(1)
 
-    def f(state, batch, key):
-        new_state, loss = trainer._train_step(state, batch, key)
-        return loss
-
-    ms = _median_ms(f, (state, batch, key), steps=10)
+    # chain the state so steps are serially data-dependent
+    chain = lambda a, out: (out[0], a[1], a[2])  # noqa: E731
+    ms = _median_ms(trainer._train_step, (state, batch, key), steps=30,
+                    chain=chain)
     return {"ms": round(ms, 3),
             "samples_per_sec": round(bsz / (ms / 1e3)),
             **_cost(trainer._train_step, state, batch, key)}

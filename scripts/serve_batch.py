@@ -1,0 +1,118 @@
+"""Minimal batch-serving loop over an exported StableHLO artifact.
+
+A filesystem request queue (the simplest transport that demonstrates the
+serving path end-to-end without bringing in a web framework): requests are
+``.npz`` files with the exported function's inputs; responses are written
+next to them as ``<name>.probs.npy``. The artifact runs via
+``jax.export.deserialize(...).call`` — no Python model code needed.
+
+Request npz keys (shapes must match the exported signature):
+  node_feat [B,N,20] coords [B,N,3] edge_src/edge_dst [B,E] edge_feat
+  [B,E,1] edge_mask [B,N]->bool node_mask, num_nodes, seq [B,L,21],
+  props [B,2]
+(produce one with scripts/serve_batch.py --write-example)
+
+Usage:
+  python scripts/serve_batch.py --artifact model.shlo --watch-dir q/        # loop
+  python scripts/serve_batch.py --artifact model.shlo --oneshot req.npz     # once
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def request_to_args(path: str):
+    import jax.numpy as jnp
+    from immunostruct_tpu.structs import GraphBatch
+
+    with np.load(path) as z:
+        graph = GraphBatch(
+            node_feat=jnp.asarray(z["node_feat"]),
+            coords=jnp.asarray(z["coords"]),
+            edge_src=jnp.asarray(z["edge_src"]),
+            edge_dst=jnp.asarray(z["edge_dst"]),
+            edge_feat=jnp.asarray(z["edge_feat"]),
+            edge_mask=jnp.asarray(z["edge_mask"]),
+            node_mask=jnp.asarray(z["node_mask"]),
+            num_nodes=jnp.asarray(z["num_nodes"]),
+        )
+        return graph, jnp.asarray(z["seq"]), jnp.asarray(z["props"])
+
+
+def write_example(path: str, batch=8, nodes=32, edges=128, seq_len=64):
+    rng = np.random.default_rng(0)
+    onehot = np.zeros((batch, nodes, 20), np.float32)
+    onehot[:, np.arange(nodes), rng.integers(0, 20, (batch, nodes))] = 1.0
+    np.savez(path,
+             node_feat=onehot,
+             coords=rng.standard_normal((batch, nodes, 3)).astype(np.float32),
+             edge_src=rng.integers(0, nodes, (batch, edges)).astype(np.int32),
+             edge_dst=rng.integers(0, nodes, (batch, edges)).astype(np.int32),
+             edge_feat=np.ones((batch, edges, 1), np.float32),
+             edge_mask=np.ones((batch, edges), bool),
+             node_mask=np.ones((batch, nodes), bool),
+             num_nodes=np.full((batch,), nodes, np.int32),
+             seq=rng.random((batch, seq_len, 21)).astype(np.float32),
+             props=rng.random((batch, 2)).astype(np.float32))
+
+
+def serve_one(exported, req_path: str) -> str:
+    args = request_to_args(req_path)
+    t0 = time.perf_counter()
+    probs = np.asarray(exported.call(*args))
+    dt = (time.perf_counter() - t0) * 1e3
+    out_path = req_path[: -len(".npz")] + ".probs.npy"
+    np.save(out_path, probs)
+    print(f"{os.path.basename(req_path)}: {probs.shape[0]} probs in "
+          f"{dt:.1f} ms -> {out_path}")
+    return out_path
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--artifact", type=str)
+    ap.add_argument("--watch-dir", type=str)
+    ap.add_argument("--oneshot", type=str)
+    ap.add_argument("--write-example", type=str)
+    ap.add_argument("--poll-secs", type=float, default=0.2)
+    args = ap.parse_args(argv)
+
+    if args.write_example:
+        write_example(args.write_example)
+        print(f"wrote example request {args.write_example}")
+        if not args.artifact:
+            return
+
+    from immunostruct_tpu.utils.export import load_exported
+
+    exported = load_exported(args.artifact)
+
+    if args.oneshot:
+        serve_one(exported, args.oneshot)
+        return
+
+    assert args.watch_dir, "--watch-dir or --oneshot required"
+    print(f"serving from {args.watch_dir} (ctrl-c to stop)")
+    done = set()
+    while True:
+        for fname in sorted(os.listdir(args.watch_dir)):
+            if not fname.endswith(".npz") or fname in done:
+                continue
+            try:
+                serve_one(exported, os.path.join(args.watch_dir, fname))
+            except Exception as e:  # noqa: BLE001 - keep serving on bad requests
+                print(f"REJECTED {fname}: {e}")
+            done.add(fname)
+        time.sleep(args.poll_secs)
+
+
+if __name__ == "__main__":
+    main()

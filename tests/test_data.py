@@ -233,3 +233,58 @@ class TestSyntheticEndToEnd:
         # invalid rows have NaN props
         assert np.isnan(ds.props[~ds.valid]).all()
         assert not np.isnan(ds.props[ds.valid]).any()
+
+
+def test_comparative_duplicate_wt_pairs_stay_aligned(tmp_path):
+    """Two cancer mutants sharing one WT peptide+allele must yield TWO
+    aligned comparative rows (reference keeps one WT row per combined-table
+    row) — regression for the dict-dedup misalignment the real cedar corpus
+    exposed (2,710 rows vs 2,686 unique WT pep_pairs)."""
+    import pandas as pd
+    from immunostruct_tpu.data.graphs import save_graph_npz
+    from immunostruct_tpu.data.tables import expand_hla
+    from immunostruct_tpu.data import ComparativeDataset
+    from immunostruct_tpu.config import Config
+
+    hla = "".join("ACDEFGHIKLMNPQRSTVWY"[i % 20] for i in range(30))
+    hla_path = tmp_path / "hla.csv"
+    pd.DataFrame({"allele": ["HLA-A*02:01"], "seqs": [hla]}).to_csv(
+        hla_path, index=False)
+
+    rows = dict(
+        mut_pep=["SIINFEKLV", "SIINFEKLA"],   # two mutants ...
+        wt_pep=["SIINFEKLL", "SIINFEKLL"],    # ... one shared WT
+        allele=["HLA-A0201", "HLA-A0201"],
+        foreign=[0.5, 0.7], smoothed_foreign=[0.5, 0.7],
+        Mprop1=[0.1, 0.2], Mprop2=[0.3, 0.4], immunogenicity=[1, 0],
+    )
+    cancer_path = tmp_path / "cancer.tsv"
+    pd.DataFrame(rows).to_csv(cancer_path, sep="\t", index=False)
+    wt = dict(rows)
+    wt["Mprop1_wt"] = [0.5, 0.6]
+    wt["Mprop2_wt"] = [0.7, 0.8]
+    wt_path = tmp_path / "wt.tsv"
+    pd.DataFrame(wt).to_csv(wt_path, sep="\t", index=False)
+
+    graph_dir = tmp_path / "graphs"
+    graph_dir.mkdir()
+    pairs = [p + "HLA-A*02:01" for p in
+             ("SIINFEKLV", "SIINFEKLA", "SIINFEKLL")]
+    rng = np.random.default_rng(0)
+    for pair, (chain, key, pep) in expand_hla(pairs, str(hla_path)).items():
+        n = len(chain)
+        x = np.zeros((n, 22), np.float32)
+        x[np.arange(n), rng.integers(0, 20, n)] = 1.0
+        save_graph_npz(str(graph_dir / f"{key}.npz"), name=f"Immuno{key}",
+                       x=x, coords=rng.standard_normal((n, 3)).astype(np.float32),
+                       edge_index=np.stack([np.arange(n - 1), np.arange(1, n)]).astype(np.int32))
+
+    cfg = Config()
+    ds = ComparativeDataset.load(cfg, str(graph_dir), str(graph_dir),
+                                 str(cancer_path), str(wt_path), str(hla_path))
+    assert len(ds) == 2
+    assert len(ds.wt) == 2
+    # both WT rows reference the same graph, with per-row alignment intact
+    assert ds.wt.raw_chain[0] == ds.wt.raw_chain[1] == hla + "SIINFEKLL"
+    assert ds.cancer.raw_chain[0] != ds.cancer.raw_chain[1]
+    np.testing.assert_array_equal(np.asarray(ds.wt.immuno), [0.0, 0.0])
