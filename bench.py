@@ -19,8 +19,13 @@ the analytic model FLOPs (utils/flops.py — segment-sum math, not the
 one-hot implementation), XLA's as-compiled FLOPs, and MFU against the
 chip's bf16 peak are reported alongside in the same JSON line.
 NOTE: the tunnel TPU is pool-shared; observed honest step times at these
-shapes ranged 3.5-160 ms across hours (pool load). The JSON reflects the
-run's actual conditions; benchmarks/RESULTS.md records the distribution.
+shapes ranged 3.5-160 ms across hours (pool load), and an in-jit scan of
+pure 2048^3 bf16 matmuls measured 4.9-6.7 TF/s during congestion (peak
+197) — device-side time-sharing, not dispatch overhead. Every bench run
+therefore self-calibrates: a known-FLOPs matmul scan estimates the pool
+share available to this run (``pool_share_est``), reported alongside the
+raw numbers plus contention-corrected equivalents (clearly labeled).
+benchmarks/RESULTS.md records the cross-run distribution.
 
 Prints ONE JSON line:
   {"metric": "train_samples_per_sec_per_chip", "value": N,
@@ -74,6 +79,37 @@ def build_inputs():
                        target=target, aux_residue=None)
 
 
+def measure_pool_share(peak: float, iters: int = 32, m: int = 2048) -> float:
+    """Estimated fraction of the chip available to this process: time an
+    in-jit lax.scan of m^3 bf16 matmuls (one dispatch, no host involvement)
+    against the nominal peak. ~1.0 on an uncontended chip."""
+    import jax
+    import jax.numpy as jnp
+
+    a0 = jnp.asarray(
+        (np.random.default_rng(0).standard_normal((m, m)) / m), jnp.bfloat16)
+
+    @jax.jit
+    def scan_mm(a):
+        def body(c, _):
+            c = c @ c
+            return c / (jnp.max(jnp.abs(c)) + 1e-6), None
+
+        c, _ = jax.lax.scan(body, a, None, length=iters)
+        return c
+
+    np.asarray(scan_mm(a0))  # compile + honest barrier
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(scan_mm(a0))
+        best = min(best, time.perf_counter() - t0)
+    measured = 2 * m ** 3 * iters / best
+    # the scan body also does a full-array max+divide each iteration; treat
+    # the matmul-only count as the lower-bound share estimate
+    return min(measured / peak, 1.0)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -96,6 +132,21 @@ def main():
     device = jax.devices()[0]
     platform = device.platform
     compute_dtype = jnp.bfloat16 if platform == "tpu" else jnp.float32
+
+    # the tunnel chip is pool-shared: calibrate the available share and wait
+    # (bounded) for a quieter window before measuring, so the recorded
+    # numbers reflect the chip more than the neighbors
+    from immunostruct_tpu.utils.flops import peak_flops as _peak
+    peak_cal = _peak(device, "bfloat16") if platform == "tpu" else None
+    share = None
+    if peak_cal:
+        for attempt in range(8):
+            share = measure_pool_share(peak_cal)
+            if share >= 0.5:
+                break
+            print(f"# pool_share={share:.4f} (attempt {attempt + 1}/8), "
+                  "waiting for a quieter window...", flush=True)
+            time.sleep(60)
     trainer = Trainer(spec, loss_cfg, binary=True, optimizer=optimizer,
                       aggregation="auto", compute_dtype=compute_dtype,
                       donate=True)
@@ -142,6 +193,12 @@ def main():
                                    n_params=n_params)
     peak = peak_flops(device, "bfloat16" if platform == "tpu" else "float32")
     achieved = model_flops / (p50 / 1e3)
+
+    # re-calibrate after the measurement; correct by the mean of both
+    if peak_cal:
+        share_after = measure_pool_share(peak_cal)
+        share = (share + share_after) / 2.0
+
     out = {
         "metric": "train_samples_per_sec_per_chip",
         "value": round(samples_per_sec, 2),
@@ -160,6 +217,16 @@ def main():
                                 if xla_flops is not None else None),
         "xla_gb_accessed_per_step": (round(xla_bytes / 1e9, 3)
                                      if xla_bytes is not None else None),
+        # pool-shared tunnel chip: estimated fraction of the chip this run
+        # actually got (in-jit matmul-scan calibration), and what the raw
+        # numbers extrapolate to on an uncontended chip. Clearly labeled
+        # estimates, NOT measurements.
+        "pool_share_est": round(share, 4) if share is not None else None,
+        "samples_per_sec_uncontended_est": (
+            round(samples_per_sec / share, 1) if share else None),
+        "mfu_pct_uncontended_est": (
+            round(100.0 * achieved / (peak * share), 2)
+            if (peak and share) else None),
         "n_params": n_params,
         "device": getattr(device, "device_kind", platform),
     }
