@@ -21,18 +21,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.realpath(__file__))))
 import numpy as np
 
 
-def timeit_best(f, steps, repeats):
+def timeit_median(f, steps, repeats):
+    """Median window rate with value-fetch barriers (block_until_ready is
+    not a reliable barrier through this dispatch path; see RESULTS.md)."""
+    import statistics
+
     import jax
-    r = f()
-    jax.block_until_ready(r)
-    best = float("inf")
+    import numpy as np
+
+    def fetch(r):
+        np.asarray(jax.device_get(jax.tree.leaves(r)[-1])).ravel()[:1]
+
+    fetch(f())
+    dts = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         for _ in range(steps):
             r = f()
-        jax.block_until_ready(r)
-        best = min(best, time.perf_counter() - t0)
-    return steps / best
+        fetch(r)
+        dts.append(time.perf_counter() - t0)
+    return steps / statistics.median(dts)
 
 
 def main():
@@ -73,7 +81,7 @@ def main():
             holder["state"], loss = trainer._train_step(holder["state"], batch, key)
             return loss
 
-        return timeit_best(step, steps, repeats) * batch_size
+        return timeit_median(step, steps, repeats) * batch_size
 
     # config 1: sequence+property, batch 64 (CPU-runnable; no graphs consumed)
     b1 = build_batch(64, 16, 128, 284)
@@ -120,7 +128,7 @@ def main():
         return jax.nn.sigmoid(out.logits)
 
     key = jax.random.key(2)
-    results["5b_clinical_infer_sps"] = round(timeit_best(
+    results["5b_clinical_infer_sps"] = round(timeit_median(
         lambda: clinical_fwd(params, b2.graph, b2.seq_onehot, b2.props, key),
         steps, repeats) * 128, 1)
 

@@ -61,13 +61,13 @@ def main(num_samples=2048, epochs=3, batch_size=128):
         # warmup epoch (compiles)
         for batch in pipe.epoch(0):
             state, loss = trainer._train_step(state, batch, key)
-        jax.block_until_ready(loss)
+        float(loss)  # value fetch barrier (RESULTS.md methodology)
         t0 = time.perf_counter()
         for e in range(1, epochs):
             src = prefetch(pipe.epoch(e)) if label == "host" else pipe.epoch(e)
             for batch in src:
                 state, loss = trainer._train_step(state, batch, key)
-        jax.block_until_ready(loss)
+        float(loss)
         dt = time.perf_counter() - t0
         sps = n * (epochs - 1) / dt
         results[f"{label}_samples_per_sec"] = round(sps, 1)

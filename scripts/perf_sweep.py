@@ -59,11 +59,11 @@ def measure(aggregation, dtype_name, batch_size=128, nodes=288, edges=2560,
     state = trainer.init_state(params)
     key = jax.random.key(1)
     state, loss = trainer._train_step(state, batch, key)
-    jax.block_until_ready(loss)
+    float(loss)  # value fetch: block_until_ready is unreliable here (RESULTS.md)
     t0 = time.perf_counter()
     for _ in range(steps):
         state, loss = trainer._train_step(state, batch, key)
-    jax.block_until_ready(loss)
+    float(loss)
     dt = time.perf_counter() - t0
     sps = batch_size * steps / dt
     print(f"agg={aggregation:8s} dtype={dtype_name:9s} "
