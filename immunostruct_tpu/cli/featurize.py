@@ -29,15 +29,24 @@ def main(argv=None):
                         "does ~850 structures/s on pMHC-sized inputs)")
     p.add_argument("--no-native", action="store_true",
                    help="force the pure-numpy path")
+    p.add_argument("--edge-granularity", default="ca", choices=["ca", "atomic"],
+                   help="'ca': interaction distances on CA coordinates (C++ "
+                        "kernel); 'atomic': distances between the actual "
+                        "interacting atoms, mapped to residue edges — closer "
+                        "to graphein on all-atom PDBs (PARITY.md)")
     args = p.parse_args(argv)
 
-    use_native = not args.no_native
+    use_native = not args.no_native and args.edge_granularity == "ca"
     if use_native and not native_available():
         print("native featurizer not built (make -C native); using numpy path")
         use_native = False
 
+    from immunostruct_tpu.featurize import EdgeConfig
+    edge_config = EdgeConfig(granularity=args.edge_granularity)
+
     t0 = time.perf_counter()
     written = featurize_directory(args.alphafold_folder, args.save_folder,
+                                  edge_config=edge_config,
                                   workers=args.workers, use_native=use_native)
     dt = time.perf_counter() - t0
     rate = len(written) / dt if dt > 0 else float("inf")

@@ -166,7 +166,7 @@ class ImmunoDataset:
         if verbose:
             # join-statistic reporting, reference UX parity (preprocess.py:158,:173)
             print(f"new sequence table size: {len(rows)}, "
-                  f"removed {len(name_mapper) - len(rows)}")
+                  f"removed {len(items) - len(rows)}")
             print(f"new graph list size: {len(used_keys)}, "
                   f"removed {len(corpus) - len(used_keys)}")
         key_to_new = {k: i for i, k in enumerate(used_keys)}

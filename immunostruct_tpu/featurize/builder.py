@@ -80,7 +80,7 @@ def featurize_pdb(path: str, edge_config: EdgeConfig = EdgeConfig(),
     MASK encodes as the all-zero row, enc_dict :86).
     """
     chain = None
-    if use_native:
+    if use_native and edge_config.granularity == "ca":
         from immunostruct_tpu.featurize.native import native_featurize
         chain = native_featurize(path, edge_config)
     if chain is None:
@@ -91,7 +91,22 @@ def featurize_pdb(path: str, edge_config: EdgeConfig = EdgeConfig(),
         resnames = [ca.resnames[i] for i in keep]
         resnums = ca.resnums[keep]
         chains = [ca.chains[i] for i in keep]
-        edge_index = build_edges(coords, resnames, resnums, chains, edge_config)
+        if edge_config.granularity == "atomic":
+            from immunostruct_tpu.featurize.pdb import parse_pdb_atoms
+            from immunostruct_tpu.featurize.edges import build_edges_atomic
+
+            atoms = parse_pdb_atoms(path)
+            akeep = np.asarray([rn in SUBGRAPH_POSITIONS
+                                for rn in atoms.resnums.tolist()])
+            atoms = type(atoms)(
+                coords=atoms.coords[akeep],
+                atom_names=[a for a, k in zip(atoms.atom_names, akeep) if k],
+                resnames=[r for r, k in zip(atoms.resnames, akeep) if k],
+                resnums=atoms.resnums[akeep],
+                chains=[c for c, k in zip(atoms.chains, akeep) if k])
+            edge_index = build_edges_atomic(atoms, resnums, chains, edge_config)
+        else:
+            edge_index = build_edges(coords, resnames, resnums, chains, edge_config)
     else:
         coords, resnames, resnums, chains, edge_index = chain
 

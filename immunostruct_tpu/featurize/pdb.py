@@ -28,6 +28,50 @@ class CAChain:
         return len(self.resnames)
 
 
+@dataclasses.dataclass
+class AtomTable:
+    """All ATOM records (altloc-filtered), for atomic-granularity edge
+    rules: interaction distances measured between the actual interacting
+    atoms, then mapped back to residue-level (CA) nodes."""
+
+    coords: np.ndarray      # [m, 3] float32
+    atom_names: list[str]
+    resnames: list[str]
+    resnums: np.ndarray     # [m] int32
+    chains: list[str]
+
+    def __len__(self):
+        return len(self.atom_names)
+
+
+def parse_pdb_atoms(path: str) -> AtomTable:
+    """Every ATOM/HETATM record (first altloc wins per atom position)."""
+    coords, names, resnames, resnums, chains = [], [], [], [], []
+    seen = set()
+    with open(path, "r") as f:
+        for line in f:
+            if not line.startswith(("ATOM", "HETATM")):
+                continue
+            altloc = line[16]
+            if altloc not in (" ", "A"):
+                continue
+            atom_name = line[12:16].strip()
+            chain = line[21]
+            resnum = int(line[22:26])
+            key = (chain, resnum, atom_name)
+            if key in seen:
+                continue
+            seen.add(key)
+            coords.append((float(line[30:38]), float(line[38:46]), float(line[46:54])))
+            names.append(atom_name)
+            resnames.append(line[17:20].strip())
+            resnums.append(resnum)
+            chains.append(chain)
+    return AtomTable(coords=np.asarray(coords, np.float32).reshape(-1, 3),
+                     atom_names=names, resnames=resnames,
+                     resnums=np.asarray(resnums, np.int32), chains=chains)
+
+
 def parse_pdb_ca(path: str) -> CAChain:
     """Extract one CA record per (chain, residue number) from ATOM lines."""
     coords, resnames, resnums, chains = [], [], [], []

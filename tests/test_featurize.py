@@ -279,3 +279,102 @@ class TestGoldenBoundary:
         p = self._fixture(tmp_path, "union", ["TYR", "TYR"], [0.0, 3.4])
         for s in _both_paths(p):
             assert s == {(0, 1), (1, 0)}
+
+
+class TestAtomicGranularity:
+    """edge_granularity='atomic': interaction distances measured between the
+    actual interacting ATOMS (as graphein does on all-atom PDBs), mapped to
+    residue-level edges — fixtures place sidechain atoms close while CAs
+    stay far, so 'ca' and 'atomic' provably differ."""
+
+    def _write_atoms(self, path, records):
+        """records: list of (atom_name, resname, resnum, (x,y,z))."""
+        with open(path, "w") as f:
+            for i, (an, rn, num, xyz) in enumerate(records, 1):
+                f.write(f"ATOM  {i:5d}  {an:<4s}{rn} A{num:4d}    "
+                        f"{xyz[0]:8.3f}{xyz[1]:8.3f}{xyz[2]:8.3f}"
+                        f"  1.00  0.00           {an[0]}\n")
+            f.write("END\n")
+
+    def _edges(self, path, granularity):
+        cfg = EdgeConfig(granularity=granularity)
+        _, _, _, ei = featurize_pdb(path, edge_config=cfg, use_native=False)
+        return set(map(tuple, ei.T.tolist()))
+
+    def test_sidechain_hbond_found_only_by_atomic(self, tmp_path):
+        # SER OG and TYR OH 3.0 A apart; CAs 8 A apart (resnums spaced
+        # so no peptide bond; TYR alone is hydrophobic, SER is not)
+        path = str(tmp_path / "hb.pdb")
+        self._write_atoms(path, [
+            ("CA", "SER", 10, (0.0, 0.0, 0.0)),
+            ("OG", "SER", 10, (2.5, 0.0, 0.0)),
+            ("CA", "TYR", 20, (8.0, 0.0, 0.0)),
+            ("OH", "TYR", 20, (5.5, 0.0, 0.0)),
+        ])
+        assert self._edges(path, "ca") == set()
+        assert self._edges(path, "atomic") == {(0, 1), (1, 0)}
+
+    def test_backbone_hbond(self, tmp_path):
+        # backbone N...O at 2.9 A between GLY residues (no sidechains):
+        # atomic mode finds the classic backbone H-bond
+        path = str(tmp_path / "bb.pdb")
+        self._write_atoms(path, [
+            ("CA", "GLY", 10, (0.0, 0.0, 0.0)),
+            ("N", "GLY", 10, (1.5, 0.0, 0.0)),
+            ("CA", "GLY", 20, (7.0, 0.0, 0.0)),
+            ("O", "GLY", 20, (4.4, 0.0, 0.0)),
+        ])
+        assert self._edges(path, "ca") == set()
+        assert self._edges(path, "atomic") == {(0, 1), (1, 0)}
+
+    def test_hydrophobic_rgroup_carbons_only(self, tmp_path):
+        # LEU CD1 and VAL CG1 4.5 A apart, CAs 9 A apart -> atomic edge;
+        # backbone carbons (CA) at the same distance must NOT count
+        path = str(tmp_path / "hp.pdb")
+        self._write_atoms(path, [
+            ("CA", "LEU", 10, (0.0, 0.0, 0.0)),
+            ("CD1", "LEU", 10, (2.5, 0.0, 0.0)),
+            ("CA", "VAL", 20, (9.0, 0.0, 0.0)),
+            ("CG1", "VAL", 20, (7.0, 0.0, 0.0)),
+        ])
+        assert self._edges(path, "ca") == set()
+        assert self._edges(path, "atomic") == {(0, 1), (1, 0)}
+        # same geometry but only backbone atoms: nothing
+        path2 = str(tmp_path / "hp2.pdb")
+        self._write_atoms(path2, [
+            ("CA", "LEU", 10, (0.0, 0.0, 0.0)),
+            ("CA", "VAL", 20, (4.5, 0.0, 0.0)),
+        ])
+        assert self._edges(path2, "atomic") == set()
+        # (CA mode, by design, DOES connect these: documented divergence)
+        assert self._edges(path2, "ca") == {(0, 1), (1, 0)}
+
+    def test_ionic_charged_atoms(self, tmp_path):
+        # LYS NZ to GLU OE1 at 5.5 A, CAs 12 A apart
+        path = str(tmp_path / "io.pdb")
+        self._write_atoms(path, [
+            ("CA", "LYS", 10, (0.0, 0.0, 0.0)),
+            ("NZ", "LYS", 10, (3.5, 0.0, 0.0)),
+            ("CA", "GLU", 20, (12.0, 0.0, 0.0)),
+            ("OE1", "GLU", 20, (9.0, 0.0, 0.0)),
+        ])
+        assert self._edges(path, "ca") == set()
+        assert self._edges(path, "atomic") == {(0, 1), (1, 0)}
+        # NZ-OE1 at 6.5 A: outside threshold. NZ is also an H-bond donor
+        # and OE1 an acceptor, but 6.5 > 3.5 so nothing fires.
+        path2 = str(tmp_path / "io2.pdb")
+        self._write_atoms(path2, [
+            ("CA", "LYS", 10, (0.0, 0.0, 0.0)),
+            ("NZ", "LYS", 10, (2.5, 0.0, 0.0)),
+            ("CA", "GLU", 20, (12.0, 0.0, 0.0)),
+            ("OE1", "GLU", 20, (9.0, 0.0, 0.0)),
+        ])
+        assert self._edges(path2, "atomic") == set()
+
+    def test_peptide_bonds_unchanged_in_atomic_mode(self, tmp_path):
+        path = str(tmp_path / "pb.pdb")
+        self._write_atoms(path, [
+            ("CA", "GLY", 10, (0.0, 0.0, 0.0)),
+            ("CA", "GLY", 11, (50.0, 0.0, 0.0)),
+        ])
+        assert self._edges(path, "atomic") == {(0, 1), (1, 0)}
