@@ -36,7 +36,7 @@ def main(argv=None):
                         "to graphein on all-atom PDBs (PARITY.md)")
     args = p.parse_args(argv)
 
-    use_native = not args.no_native and args.edge_granularity == "ca"
+    use_native = not args.no_native
     if use_native and not native_available():
         print("native featurizer not built (make -C native); using numpy path")
         use_native = False

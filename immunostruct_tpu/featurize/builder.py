@@ -80,7 +80,7 @@ def featurize_pdb(path: str, edge_config: EdgeConfig = EdgeConfig(),
     MASK encodes as the all-zero row, enc_dict :86).
     """
     chain = None
-    if use_native and edge_config.granularity == "ca":
+    if use_native:
         from immunostruct_tpu.featurize.native import native_featurize
         chain = native_featurize(path, edge_config)
     if chain is None:

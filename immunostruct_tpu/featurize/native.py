@@ -58,6 +58,15 @@ def _load():
                 ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
                 ctypes.c_int,
             ]
+            if hasattr(lib, "build_edges_atomic"):
+                lib.build_edges_atomic.restype = ctypes.c_int
+                lib.build_edges_atomic.argtypes = [
+                    ctypes.c_char_p, ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                    ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                    ctypes.c_int,
+                ]
             _LIB = lib
             break
     return _LIB
@@ -99,8 +108,15 @@ def native_featurize(path: str, edge_config: EdgeConfig = EdgeConfig(),
                             np.float32)
     src = np.zeros((max_edges,), np.int32)
     dst = np.zeros((max_edges,), np.int32)
-    e = lib.build_edges(fp(coords), ip(res_class), ip(resnum), ip(chain_id),
-                        n, fp(thresholds), ip(src), ip(dst), max_edges)
+    if edge_config.granularity == "atomic":
+        if not hasattr(lib, "build_edges_atomic"):
+            return None  # stale .so: fall back to the numpy path
+        e = lib.build_edges_atomic(path.encode(), int(apply_subgraph_filter),
+                                   ip(resnum), ip(chain_id), n, fp(thresholds),
+                                   ip(src), ip(dst), max_edges)
+    else:
+        e = lib.build_edges(fp(coords), ip(res_class), ip(resnum), ip(chain_id),
+                            n, fp(thresholds), ip(src), ip(dst), max_edges)
     if e < 0:
         raise RuntimeError(f"native build_edges overflow for {path}")
 

@@ -204,3 +204,210 @@ int build_edges(const float* coords, const int* res_class, const int* resnum,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Atomic granularity (mirrors featurize/edges.py::build_edges_atomic):
+// interaction distances measured between the actual interacting ATOMS,
+// mapped to residue-level (CA) node edges. Peptide bonds stay at residue
+// granularity.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr int kDonorBit = 1;
+constexpr int kAcceptorBit = 2;
+constexpr int kSulfurBit = 4;
+constexpr int kHydroCBit = 8;
+constexpr int kPosBit = 16;
+constexpr int kNegBit = 32;
+
+bool pair_in(const char* res3, const std::string& atom,
+             std::initializer_list<std::pair<const char*, const char*>> set) {
+  for (const auto& rn_an : set) {
+    if (std::strncmp(res3, rn_an.first, 3) == 0 && atom == rn_an.second)
+      return true;
+  }
+  return false;
+}
+
+int atom_kind(const char* res3, const std::string& atom) {
+  int kind = 0;
+  // backbone donor/acceptor heavy atoms
+  if (atom == "N") kind |= kDonorBit;
+  if (atom == "O") kind |= kAcceptorBit;
+  if (pair_in(res3, atom, {{"ARG", "NE"}, {"ARG", "NH1"}, {"ARG", "NH2"},
+                           {"ASN", "ND2"}, {"GLN", "NE2"}, {"HIS", "ND1"},
+                           {"HIS", "NE2"}, {"LYS", "NZ"}, {"SER", "OG"},
+                           {"THR", "OG1"}, {"TRP", "NE1"}, {"TYR", "OH"},
+                           {"CYS", "SG"}}))
+    kind |= kDonorBit;
+  if (pair_in(res3, atom, {{"ASP", "OD1"}, {"ASP", "OD2"}, {"GLU", "OE1"},
+                           {"GLU", "OE2"}, {"ASN", "OD1"}, {"GLN", "OE1"},
+                           {"HIS", "ND1"}, {"HIS", "NE2"}, {"SER", "OG"},
+                           {"THR", "OG1"}, {"TYR", "OH"}, {"MET", "SD"},
+                           {"CYS", "SG"}}))
+    kind |= kAcceptorBit;
+  if (atom == "SD" || atom == "SG") kind |= kSulfurBit;
+  // hydrophobic: R-group carbons of hydrophobic residues
+  const bool backbone = (atom == "N" || atom == "CA" || atom == "C" ||
+                         atom == "O" || atom == "OXT");
+  const int cls = residue_class(res3);
+  if (!backbone && !atom.empty() && atom[0] == 'C' &&
+      flags_for_class(cls).hydrophobic)
+    kind |= kHydroCBit;
+  if (pair_in(res3, atom, {{"ARG", "NE"}, {"ARG", "NH1"}, {"ARG", "NH2"},
+                           {"LYS", "NZ"}, {"HIS", "ND1"}, {"HIS", "NE2"}}))
+    kind |= kPosBit;
+  if (pair_in(res3, atom, {{"ASP", "OD1"}, {"ASP", "OD2"}, {"GLU", "OE1"},
+                           {"GLU", "OE2"}}))
+    kind |= kNegBit;
+  return kind;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Atomic-granularity edges: re-parses `path` for ALL atoms, classifies the
+// interacting atoms, maps (chain,resnum) onto the n residue nodes given by
+// resnum/chain_id (the parse_pdb_ca outputs), and emits residue-level
+// edges (both directions, row-major order like np.nonzero) including
+// residue-granularity peptide bonds. Returns edge count, -1 file error,
+// -2 overflow.
+int build_edges_atomic(const char* path, int apply_subgraph_filter,
+                       const int* resnum, const int* chain_id, int n,
+                       const float* thresholds, int* src, int* dst,
+                       int max_e) {
+  FILE* f = std::fopen(path, "r");
+  if (!f) return -1;
+
+  // (chain<<32|resnum) -> node index
+  std::unordered_set<int64_t> dummy;  // keep include used
+  std::vector<std::pair<int64_t, int>> node_of;
+  node_of.reserve(n);
+  for (int i = 0; i < n; ++i) {
+    node_of.emplace_back(
+        (static_cast<int64_t>(chain_id[i]) << 32) | (uint32_t)resnum[i], i);
+  }
+  auto find_node = [&](char chain, int rn) -> int {
+    const int64_t key = (static_cast<int64_t>(chain) << 32) | (uint32_t)rn;
+    for (const auto& kv : node_of) {
+      if (kv.first == key) return kv.second;
+    }
+    return -1;
+  };
+
+  struct Atom {
+    float x, y, z;
+    int kind;
+    int node;
+  };
+  std::vector<Atom> atoms;
+  std::unordered_set<std::string> seen_atoms;
+
+  char line[256];
+  while (std::fgets(line, sizeof(line), f)) {
+    size_t len = std::strlen(line);
+    if (len < 54) continue;
+    if (std::strncmp(line, "ATOM", 4) != 0 &&
+        std::strncmp(line, "HETATM", 6) != 0)
+      continue;
+    char altloc = line[16];
+    if (altloc != ' ' && altloc != 'A') continue;
+    char atom_buf[5];
+    std::memcpy(atom_buf, line + 12, 4);
+    atom_buf[4] = 0;
+    std::string a(atom_buf);
+    size_t b = a.find_first_not_of(' ');
+    size_t e = a.find_last_not_of(' ');
+    if (b == std::string::npos) continue;
+    a = a.substr(b, e - b + 1);
+    char chain = line[21];
+    char numbuf[5];
+    std::memcpy(numbuf, line + 22, 4);
+    numbuf[4] = 0;
+    int rn = std::atoi(numbuf);
+    if (apply_subgraph_filter &&
+        !((rn >= 1 && rn <= 179) || (rn >= 273 && rn <= 999)))
+      continue;
+    std::string atom_key = std::string(1, chain) + ":" +
+                           std::to_string(rn) + ":" + a;
+    if (!seen_atoms.insert(atom_key).second) continue;
+    int kind = atom_kind(line + 17, a);
+    if (kind == 0) continue;  // atom participates in no rule
+    int node = find_node(chain, rn);
+    if (node < 0) continue;
+    atoms.push_back({parse_f(line, 30, 8), parse_f(line, 38, 8),
+                     parse_f(line, 46, 8), kind, node});
+  }
+  std::fclose(f);
+
+  std::vector<uint8_t> adj(static_cast<size_t>(n) * n, 0);
+
+  // peptide bonds at residue granularity
+  for (int i = 0; i < n; ++i) {
+    for (int j = i + 1; j < n; ++j) {
+      if (chain_id[i] == chain_id[j]) {
+        int d = resnum[i] - resnum[j];
+        if (d == 1 || d == -1) {
+          adj[static_cast<size_t>(i) * n + j] = 1;
+          adj[static_cast<size_t>(j) * n + i] = 1;
+        }
+      }
+    }
+  }
+
+  const float th_hb = thresholds[0], th_hbs = thresholds[1];
+  const float th_hydro = thresholds[2], th_ion = thresholds[3];
+  float max_th = th_hb;
+  if (th_hbs > max_th) max_th = th_hbs;
+  if (th_hydro > max_th) max_th = th_hydro;
+  if (th_ion > max_th) max_th = th_ion;
+  const float max_th2 = max_th * max_th;
+
+  const size_t m = atoms.size();
+  for (size_t i = 0; i < m; ++i) {
+    const Atom& ai = atoms[i];
+    for (size_t j = i + 1; j < m; ++j) {
+      const Atom& aj = atoms[j];
+      if (ai.node == aj.node) continue;
+      const float dx = ai.x - aj.x, dy = ai.y - aj.y, dz = ai.z - aj.z;
+      const float d2 = dx * dx + dy * dy + dz * dz;
+      if (d2 >= max_th2) continue;
+      const float d = std::sqrt(d2);
+      bool connect = false;
+      const float hb_th =
+          ((ai.kind | aj.kind) & kSulfurBit) ? th_hbs : th_hb;
+      if (((ai.kind & kDonorBit) && (aj.kind & kAcceptorBit)) ||
+          ((ai.kind & kAcceptorBit) && (aj.kind & kDonorBit))) {
+        if (d < hb_th) connect = true;
+      }
+      if (!connect && (ai.kind & kHydroCBit) && (aj.kind & kHydroCBit) &&
+          d < th_hydro)
+        connect = true;
+      if (!connect &&
+          (((ai.kind & kPosBit) && (aj.kind & kNegBit)) ||
+           ((ai.kind & kNegBit) && (aj.kind & kPosBit))) &&
+          d < th_ion)
+        connect = true;
+      if (connect) {
+        adj[static_cast<size_t>(ai.node) * n + aj.node] = 1;
+        adj[static_cast<size_t>(aj.node) * n + ai.node] = 1;
+      }
+    }
+  }
+
+  int e = 0;
+  for (int i = 0; i < n; ++i) {
+    for (int j = 0; j < n; ++j) {
+      if (!adj[static_cast<size_t>(i) * n + j]) continue;
+      if (e >= max_e) return -2;
+      src[e] = i;
+      dst[e] = j;
+      ++e;
+    }
+  }
+  return e;
+}
+
+}  // extern "C"

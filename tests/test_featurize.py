@@ -297,9 +297,15 @@ class TestAtomicGranularity:
             f.write("END\n")
 
     def _edges(self, path, granularity):
+        """Edge set from the numpy path, asserted identical to the C++
+        kernel when it is built."""
         cfg = EdgeConfig(granularity=granularity)
         _, _, _, ei = featurize_pdb(path, edge_config=cfg, use_native=False)
-        return set(map(tuple, ei.T.tolist()))
+        got = set(map(tuple, ei.T.tolist()))
+        if native_available():
+            _, _, _, ei_n = featurize_pdb(path, edge_config=cfg, use_native=True)
+            assert set(map(tuple, ei_n.T.tolist())) == got, granularity
+        return got
 
     def test_sidechain_hbond_found_only_by_atomic(self, tmp_path):
         # SER OG and TYR OH 3.0 A apart; CAs 8 A apart (resnums spaced
@@ -378,3 +384,31 @@ class TestAtomicGranularity:
             ("CA", "GLY", 11, (50.0, 0.0, 0.0)),
         ])
         assert self._edges(path, "atomic") == {(0, 1), (1, 0)}
+
+    @pytest.mark.skipif(not native_available(), reason="native lib not built")
+    def test_native_atomic_matches_numpy_randomized(self, tmp_path, rng):
+        """Fuzz parity: random all-atom structures through both atomic
+        implementations must agree exactly."""
+        pool = ["N", "CA", "C", "O", "CB", "CG", "CD1", "NE", "NH1", "NZ",
+                "OD1", "OE1", "OG", "OG1", "OH", "SD", "SG", "ND2", "NE2"]
+        for trial in range(5):
+            records = []
+            num = 0
+            for r in range(12):
+                num += int(rng.integers(1, 3))
+                res = RES3[int(rng.integers(0, 20))]
+                base = rng.uniform(0, 15, 3)
+                for an in ("N", "CA", "C", "O"):
+                    records.append((an, res, num,
+                                    tuple(base + rng.uniform(-1, 1, 3))))
+                for _ in range(int(rng.integers(0, 4))):
+                    an = pool[int(rng.integers(0, len(pool)))]
+                    records.append((an, res, num,
+                                    tuple(base + rng.uniform(-3, 3, 3))))
+            path = str(tmp_path / f"fuzz{trial}.pdb")
+            self._write_atoms(path, records)
+            cfg = EdgeConfig(granularity="atomic")
+            _, _, _, ei_p = featurize_pdb(path, edge_config=cfg, use_native=False)
+            _, _, _, ei_n = featurize_pdb(path, edge_config=cfg, use_native=True)
+            assert (set(map(tuple, ei_p.T.tolist()))
+                    == set(map(tuple, ei_n.T.tolist()))), trial
