@@ -38,21 +38,23 @@ def _pick_tile(e: int) -> int:
     return 0  # caller falls back to XLA
 
 
-# idx/mask arrive reshaped to [B, E/128, 128] so their (sublane, lane) block
-# dims are legal for the TPU lowering; kernels flatten tiles back to [TE].
+# idx/mask arrive as [B, 1, E] rows: the kernels build the TRANSPOSED
+# one-hot G^T [N, TE] directly from a [1, TE] row via a sublane broadcast
+# against a 2-D iota — no reshapes/shape-casts, which Mosaic cannot lower
+# across the (sublane, lane) boundary (round-1's [rows,128]->[TE] flatten
+# failed with "infer-vector-layout: unsupported shape cast" on hardware).
 _LANE = 128
 
 
-def _read_flat(ref, t, tile):
-    rows = tile // _LANE
-    block = ref[0, pl.ds(t * rows, rows), :]        # [rows, 128]
-    return block.reshape(tile)
+def _read_row(ref, t, tile):
+    return ref[0, :, pl.ds(t * tile, tile)]          # [1, TE]
 
 
-def _onehot_block(idx_t, mask_t, n, dtype):
-    node_iota = jax.lax.broadcasted_iota(jnp.int32, (idx_t.shape[0], n), 1)
-    g = (idx_t[:, None] == node_iota).astype(dtype)
-    return g * mask_t[:, None].astype(dtype)         # [TE, N]
+def _onehot_t_block(idx_t, mask_t, n, dtype):
+    """[1, TE] indices/mask -> G^T [N, TE] (sublane-broadcast compare)."""
+    node_iota = jax.lax.broadcasted_iota(jnp.int32, (n, idx_t.shape[1]), 0)
+    g = (node_iota == idx_t).astype(dtype)           # [N, TE]
+    return g * mask_t.astype(dtype)
 
 
 def _scatter_kernel(idx_ref, mask_ref, m_ref, out_ref, acc_ref, *, tile: int):
@@ -61,13 +63,13 @@ def _scatter_kernel(idx_ref, mask_ref, m_ref, out_ref, acc_ref, *, tile: int):
     acc_ref[...] = jnp.zeros_like(acc_ref)
 
     def body(t, _):
-        idx_t = _read_flat(idx_ref, t, tile)
-        mask_t = _read_flat(mask_ref, t, tile)
-        g = _onehot_block(idx_t, mask_t, n, m_ref.dtype)
-        m_t = m_ref[0, pl.ds(t * tile, tile), :]     # [TE, C]
+        idx_t = _read_row(idx_ref, t, tile)
+        mask_t = _read_row(mask_ref, t, tile)
+        gt = _onehot_t_block(idx_t, mask_t, n, m_ref.dtype)   # [N, TE]
+        m_t = m_ref[0, pl.ds(t * tile, tile), :]              # [TE, C]
         acc_ref[...] += jax.lax.dot_general(
-            g, m_t, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)      # G^T @ m -> [N, C]
+            gt, m_t, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)               # [N, C]
         return 0
 
     jax.lax.fori_loop(0, e // tile, body, 0)
@@ -79,22 +81,22 @@ def _gather_kernel(idx_ref, mask_ref, h_ref, out_ref, *, tile: int):
     n = h_ref.shape[1]
 
     def body(t, _):
-        idx_t = _read_flat(idx_ref, t, tile)
-        mask_t = _read_flat(mask_ref, t, tile)
-        g = _onehot_block(idx_t, mask_t, n, h_ref.dtype)
-        out_ref[0, pl.ds(t * tile, tile), :] = jnp.dot(
-            g, h_ref[0], preferred_element_type=jnp.float32
-        ).astype(out_ref.dtype)
+        idx_t = _read_row(idx_ref, t, tile)
+        mask_t = _read_row(mask_ref, t, tile)
+        gt = _onehot_t_block(idx_t, mask_t, n, h_ref.dtype)   # [N, TE]
+        # gather = (G^T)^T @ h, contracted over N
+        out_ref[0, pl.ds(t * tile, tile), :] = jax.lax.dot_general(
+            gt, h_ref[0], dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(out_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, e // tile, body, 0)
 
 
 def _lanes(idx, mask, dtype):
-    """Reshape [B, E] index/mask arrays to [B, E/128, 128] lane layout."""
+    """Reshape [B, E] index/mask arrays to [B, 1, E] row layout."""
     b, e = idx.shape
-    return (idx.reshape(b, e // _LANE, _LANE),
-            mask.astype(dtype).reshape(b, e // _LANE, _LANE))
+    return (idx.reshape(b, 1, e), mask.astype(dtype).reshape(b, 1, e))
 
 
 def _scatter_call(idx, mask, m, num_nodes: int, interpret: bool):
@@ -103,13 +105,12 @@ def _scatter_call(idx, mask, m, num_nodes: int, interpret: bool):
     tile = _pick_tile(e)
     assert tile, f"edge count {e} not a multiple of 128"
     idx3, mask3 = _lanes(idx, mask, m.dtype)
-    rows = e // _LANE
     return pl.pallas_call(
         functools.partial(_scatter_kernel, tile=tile),
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, rows, _LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows, _LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, e), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, e), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, e, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, num_nodes, c), lambda i: (i, 0, 0),
@@ -126,13 +127,12 @@ def _gather_call(idx, mask, h, interpret: bool):
     tile = _pick_tile(e)
     assert tile, f"edge count {e} not a multiple of 128"
     idx3, mask3 = _lanes(idx, mask, h.dtype)
-    rows = e // _LANE
     return pl.pallas_call(
         functools.partial(_gather_kernel, tile=tile),
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, rows, _LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows, _LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, e), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, e), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, e, c), lambda i: (i, 0, 0),
