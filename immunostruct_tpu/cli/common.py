@@ -53,17 +53,26 @@ def base_parser(description: str) -> argparse.ArgumentParser:
 
 
 def pick_pipeline(config, comparative: bool, ssl: bool):
-    """BatchPipeline by default; Device*Pipeline with --device-data when the
-    configuration has no host-side augmentation."""
+    """BatchPipeline by default; Device*Pipeline with --device-data.
+
+    Augmented/SSL configurations run the transforms ON DEVICE
+    (data/device_augment.py: jax-PRNG rotations + maskings inside jit) —
+    validated on the TPU in round 2, so --device-data now covers every
+    configuration instead of only the augmentation-free ones."""
+    import functools
+
     from immunostruct_tpu.data import BatchPipeline, ComparativePipeline
-    no_effective_augment = (
-        not ssl and not config.force_graph_augmentation
-        and (config.sequence_pad_count == 0 or not config.full_sequence))
-    if getattr(config, "device_data", False) and no_effective_augment:
+    if getattr(config, "device_data", False):
         from immunostruct_tpu.data.device_pipeline import (
             DevicePipeline, ComparativeDevicePipeline,
         )
-        return ComparativeDevicePipeline if comparative else DevicePipeline
+        wants_augment = (
+            ssl or config.force_graph_augmentation
+            or (config.sequence_pad_count > 0 and config.full_sequence))
+        cls = ComparativeDevicePipeline if comparative else DevicePipeline
+        if wants_augment:
+            return functools.partial(cls, device_augment=True)
+        return cls
     return ComparativePipeline if comparative else BatchPipeline
 
 

@@ -13,7 +13,8 @@ single on-device gather:
   - per-epoch shuffling stays host-side (tiny index arrays), the gather is
     jitted and feeds the jitted train step directly.
 
-Use DevicePipeline when augmentation flags are off; fall back to
+Use DevicePipeline freely (device_augment=True covers augmented/SSL
+configurations on device); fall back to
 BatchPipeline otherwise (it asserts).
 """
 
@@ -104,8 +105,10 @@ def gather_batch(corpus: DeviceCorpus, rows: jax.Array) -> SampleBatch:
 class DevicePipeline:
     """BatchPipeline-compatible iterator over a device-resident corpus.
 
-    Supports the un-augmented path only (the reference's effective non-SSL
-    behavior); construction asserts the augmentation flags are off.
+    Augmented/SSL configurations run their transforms on device
+    (device_augment=True -> data/device_augment.py inside jit; validated
+    on TPU hardware in round 2); without it, construction asserts the
+    augmentation flags are off.
     """
 
     def __init__(self, dataset: ImmunoDataset, indices: np.ndarray, *,
