@@ -79,35 +79,68 @@ def build_inputs():
                        target=target, aux_residue=None)
 
 
-def measure_pool_share(peak: float, iters: int = 32, m: int = 2048) -> float:
-    """Estimated fraction of the chip available to this process: time an
-    in-jit lax.scan of m^3 bf16 matmuls (one dispatch, no host involvement)
-    against the nominal peak. ~1.0 on an uncontended chip."""
+_SHARE_PROBES = {}
+
+
+def _share_probe(m: int, iters: int):
+    """Jitted m^3-matmul scan of a given length, cached so repeated share
+    measurements reuse one compiled program per length."""
     import jax
     import jax.numpy as jnp
 
-    a0 = jnp.asarray(
-        (np.random.default_rng(0).standard_normal((m, m)) / m), jnp.bfloat16)
+    key = (m, iters)
+    if key not in _SHARE_PROBES:
 
-    @jax.jit
-    def scan_mm(a):
-        def body(c, _):
-            c = c @ c
-            return c / (jnp.max(jnp.abs(c)) + 1e-6), None
+        @jax.jit
+        def scan_mm(a):
+            def body(c, _):
+                c = c @ c
+                return c / (jnp.max(jnp.abs(c)) + 1e-6), None
 
-        c, _ = jax.lax.scan(body, a, None, length=iters)
-        return c
+            c, _ = jax.lax.scan(body, a, None, length=iters)
+            # scalar output: the honest barrier must not pay an O(m^2)
+            # device-to-host transfer that would bias the timing
+            return jnp.sum(c)
 
-    np.asarray(scan_mm(a0))  # compile + honest barrier
-    best = float("inf")
+        _SHARE_PROBES[key] = scan_mm
+    return _SHARE_PROBES[key]
+
+
+def measure_pool_share(peak: float, m: int = 2048,
+                       iters_short: int = 64, iters_long: int = 576) -> float:
+    """Estimated fraction of the chip available to this process.
+
+    Times in-jit lax.scan matmul chains of two lengths and uses the
+    DIFFERENCE t(long) - t(short): the constant per-call costs (dispatch,
+    tunnel roundtrip, scalar fetch) cancel, leaving pure device compute for
+    (iters_long - iters_short) iterations. ~1.0 on an uncontended chip.
+    Single-length timing would floor the estimate at
+    compute/(compute + ~30ms roundtrip) regardless of actual load."""
+    import statistics
+
+    a0 = _probe_input(m)
+    short, long_ = _share_probe(m, iters_short), _share_probe(m, iters_long)
+    float(short(a0))  # compile + warm
+    float(long_(a0))
+    deltas = []
     for _ in range(3):
         t0 = time.perf_counter()
-        np.asarray(scan_mm(a0))
-        best = min(best, time.perf_counter() - t0)
-    measured = 2 * m ** 3 * iters / best
-    # the scan body also does a full-array max+divide each iteration; treat
-    # the matmul-only count as the lower-bound share estimate
+        float(short(a0))
+        t_short = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(long_(a0))
+        t_long = time.perf_counter() - t0
+        deltas.append(max(t_long - t_short, 1e-9))
+    dt = statistics.median(deltas)
+    measured = 2 * m ** 3 * (iters_long - iters_short) / dt
     return min(measured / peak, 1.0)
+
+
+def _probe_input(m: int):
+    import jax.numpy as jnp
+
+    return jnp.asarray(
+        (np.random.default_rng(0).standard_normal((m, m)) / m), jnp.bfloat16)
 
 
 def main():
@@ -136,8 +169,7 @@ def main():
     # the tunnel chip is pool-shared: calibrate the available share and wait
     # (bounded) for a quieter window before measuring, so the recorded
     # numbers reflect the chip more than the neighbors
-    from immunostruct_tpu.utils.flops import peak_flops as _peak
-    peak_cal = _peak(device, "bfloat16") if platform == "tpu" else None
+    peak_cal = peak_flops(device, "bfloat16") if platform == "tpu" else None
     share = None
     if peak_cal:
         for attempt in range(8):
@@ -161,17 +193,10 @@ def main():
     float(loss)
 
     # as-compiled cost analysis from the SAME executable (no extra compile)
-    xla_flops = None
-    xla_bytes = None
-    try:
-        cost = trainer._train_step.lower(state, batch, key).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0] if cost else {}
-        if cost:
-            xla_flops = float(cost.get("flops", 0.0)) or None
-            xla_bytes = float(cost.get("bytes accessed", 0.0)) or None
-    except Exception:  # noqa: BLE001 - backends without cost analysis
-        pass
+    from immunostruct_tpu.utils.flops import xla_cost
+    cost = xla_cost(trainer._train_step, state, batch, key)
+    xla_flops = float(cost.get("flops", 0.0)) or None
+    xla_bytes = float(cost.get("bytes accessed", 0.0)) or None
 
     window_steps = 100 if platform == "tpu" else 3
     repeats = 5 if platform == "tpu" else 2

@@ -30,7 +30,12 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     # TPU-native knobs (new)
     p.add_argument("--compute-dtype", default="bfloat16", type=str)
     p.add_argument("--aggregation", default="auto",
-                   choices=["auto", "onehot", "scatter"])
+                   choices=["auto", "onehot", "onehot_remat", "scatter",
+                            "pallas"],
+                   help="EGNN message aggregation: 'onehot' (fastest, holds "
+                        "the [B,N,E] matrix), 'onehot_remat' (~4x less temp "
+                        "HBM for ~1.5x step time), 'scatter', 'pallas' "
+                        "(fused VMEM kernels), 'auto' picks per platform")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard batches over all local devices")
     p.add_argument("--resume", action="store_true",

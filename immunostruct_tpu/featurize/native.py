@@ -117,8 +117,11 @@ def native_featurize(path: str, edge_config: EdgeConfig = EdgeConfig(),
     else:
         e = lib.build_edges(fp(coords), ip(res_class), ip(resnum), ip(chain_id),
                             n, fp(thresholds), ip(src), ip(dst), max_edges)
+    if e == -1:
+        raise RuntimeError(f"native build_edges_atomic could not read {path}")
     if e < 0:
-        raise RuntimeError(f"native build_edges overflow for {path}")
+        raise RuntimeError(
+            f"native edge buffer overflow for {path} (raise max_edges)")
 
     resnames = [(_CLASS_TO_RES3[c] if 0 <= c < 20 else "UNK")
                 for c in res_class[:n]]

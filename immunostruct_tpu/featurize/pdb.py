@@ -52,6 +52,8 @@ def parse_pdb_atoms(path: str) -> AtomTable:
         for line in f:
             if not line.startswith(("ATOM", "HETATM")):
                 continue
+            if len(line) < 54:  # truncated record: skip (C++ kernel parity)
+                continue
             altloc = line[16]
             if altloc not in (" ", "A"):
                 continue
@@ -79,6 +81,8 @@ def parse_pdb_ca(path: str) -> CAChain:
     with open(path, "r") as f:
         for line in f:
             if not line.startswith(("ATOM", "HETATM")):
+                continue
+            if len(line) < 54:  # truncated record: skip (C++ kernel parity)
                 continue
             atom_name = line[12:16].strip()
             if atom_name != "CA":

@@ -145,18 +145,32 @@ def peak_flops(device, dtype: str = "bfloat16") -> Optional[float]:
 
 
 def xla_cost(fn, *args) -> dict:
-    """As-compiled cost analysis of a jitted callable at given args.
+    """As-compiled cost analysis of a callable at given args.
 
+    Accepts a plain function OR an already-jitted one (it is reused as-is,
+    so an executable the caller has already compiled is not recompiled).
     Returns {'flops': ..., 'bytes accessed': ...} (keys XLA provides;
-    empty dict when the backend exposes none).
+    empty dict when the backend exposes none). The single unwrap point for
+    the backend's list-vs-dict quirk — bench.py and scripts/ call this.
     """
     import jax
 
-    lowered = jax.jit(fn).lower(*args)
+    jitted = fn if hasattr(fn, "lower") else jax.jit(fn)
     try:
-        cost = lowered.compile().cost_analysis()
+        cost = jitted.lower(*args).compile().cost_analysis()
     except Exception:  # noqa: BLE001 - backends without cost analysis
         return {}
     if isinstance(cost, (list, tuple)):
         cost = cost[0] if cost else {}
     return dict(cost) if cost else {}
+
+
+def xla_memory(fn, *args):
+    """memory_analysis of a (possibly jitted) callable; None if absent."""
+    import jax
+
+    jitted = fn if hasattr(fn, "lower") else jax.jit(fn)
+    try:
+        return jitted.lower(*args).compile().memory_analysis()
+    except Exception:  # noqa: BLE001
+        return None

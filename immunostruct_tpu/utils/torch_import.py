@@ -131,11 +131,9 @@ def is_torch_checkpoint(path: str) -> bool:
     try:
         with zipfile.ZipFile(path) as zf:
             names = zf.namelist()
-        if any(n.endswith("data.pkl") for n in names):
-            return True
-        if names and all(n.endswith(".npy") for n in names):
-            return False
-        return False
+        # torch zip serialization carries data.pkl; anything else
+        # (npz = all-*.npy members, or unknown zips) is treated as native
+        return any(n.endswith("data.pkl") for n in names)
     except zipfile.BadZipFile:
         with open(path, "rb") as f:
             return f.read(1) == b"\x80"  # pickle protocol marker

@@ -21,6 +21,7 @@
 #include <cstdio>
 #include <cstring>
 #include <string>
+#include <unordered_map>
 #include <unordered_set>
 #include <vector>
 
@@ -282,19 +283,16 @@ int build_edges_atomic(const char* path, int apply_subgraph_filter,
   if (!f) return -1;
 
   // (chain<<32|resnum) -> node index
-  std::unordered_set<int64_t> dummy;  // keep include used
-  std::vector<std::pair<int64_t, int>> node_of;
+  std::unordered_map<int64_t, int> node_of;
   node_of.reserve(n);
   for (int i = 0; i < n; ++i) {
-    node_of.emplace_back(
+    node_of.emplace(
         (static_cast<int64_t>(chain_id[i]) << 32) | (uint32_t)resnum[i], i);
   }
   auto find_node = [&](char chain, int rn) -> int {
     const int64_t key = (static_cast<int64_t>(chain) << 32) | (uint32_t)rn;
-    for (const auto& kv : node_of) {
-      if (kv.first == key) return kv.second;
-    }
-    return -1;
+    auto it = node_of.find(key);
+    return it == node_of.end() ? -1 : it->second;
   };
 
   struct Atom {

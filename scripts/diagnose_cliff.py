@@ -67,12 +67,11 @@ def _median_ms(fn, args, steps=50, windows=3, chain=None):
 
 
 def _cost(jitted, *args):
+    from immunostruct_tpu.utils.flops import xla_cost, xla_memory
+
     try:
-        compiled = jitted.lower(*args).compile()
-        cost = compiled.cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0] if cost else {}
-        mem = compiled.memory_analysis()
+        cost = xla_cost(jitted, *args)
+        mem = xla_memory(jitted, *args)
         return {
             "xla_gflops": round(float(cost.get("flops", 0)) / 1e9, 2) if cost else None,
             "xla_gb": round(float(cost.get("bytes accessed", 0)) / 1e9, 3) if cost else None,

@@ -101,16 +101,28 @@ def main(argv=None):
 
     assert args.watch_dir, "--watch-dir or --oneshot required"
     print(f"serving from {args.watch_dir} (ctrl-c to stop)")
+    # processed state is keyed by (name, size, mtime): a request that failed
+    # because the poll caught it mid-copy is RETRIED once the writer
+    # finishes (its size/mtime changes); a genuinely bad file is rejected
+    # once per version, not re-spammed every poll
     done = set()
     while True:
         for fname in sorted(os.listdir(args.watch_dir)):
-            if not fname.endswith(".npz") or fname in done:
+            if not fname.endswith(".npz"):
+                continue
+            path = os.path.join(args.watch_dir, fname)
+            try:
+                st = os.stat(path)
+            except OSError:
+                continue
+            key = (fname, st.st_size, st.st_mtime_ns)
+            if key in done:
                 continue
             try:
-                serve_one(exported, os.path.join(args.watch_dir, fname))
+                serve_one(exported, path)
             except Exception as e:  # noqa: BLE001 - keep serving on bad requests
-                print(f"REJECTED {fname}: {e}")
-            done.add(fname)
+                print(f"REJECTED {fname} (will retry if the file changes): {e}")
+            done.add(key)
         time.sleep(args.poll_secs)
 
 
