@@ -21,13 +21,27 @@ nodes have no incident edges (data/utils.py:54-67 builds edges from real
 topology only).
 
 Aggregation strategies:
-  'scatter'  per-batch segment scatter-add (jnp .at[].add) — cheap memory,
-             good on CPU; scatters serialize on TPU.
-  'onehot'   one-hot(dst) [B, N, E] matmul against messages [B, E, C]:
-             a batched dense matmul that runs on the MXU. The scatter matrix
-             is built ONCE per forward (same topology for all layers) and
-             reused by all 6 conv layers x 2 aggregations.
+  'scatter'  per-batch segment scatter-add (jnp .at[].add) and
+             take_along_axis gathers — cheap memory, good on CPU; scatters
+             serialize on TPU.
+  'onehot'   EVERYTHING as batched one-hot matmuls on the MXU: the dst
+             one-hot aggregates messages AND both src/dst one-hots gather
+             node features/coords as einsums ("bne,bnc->bec"). Matmul
+             gathers matter as much as the matmul aggregation: their
+             BACKWARD is again a matmul, whereas take_along_axis
+             backward is a scatter-add — measured on v5e, replacing the
+             gathers cut the 6-layer EGNN fwd+bwd from 172.9 ms to
+             15.0 ms at reference shapes (benchmarks/RESULTS.md round 2).
+             The one-hots are built ONCE per forward (same topology for
+             all layers) and reused by all 6 conv layers.
+  'onehot_remat' same math, one-hots rebuilt inside each rematerialized
+             layer (never persisted across layers/backward).
   'auto'     'onehot' on TPU, 'scatter' otherwise.
+
+Masking note: the gather one-hots are mask-zeroed like the aggregation
+matrix. A masked edge therefore gathers zeros instead of node values —
+indistinguishable in the outputs, because its message is masked out of the
+aggregation either way (and radial=0 is guarded).
 """
 
 from __future__ import annotations
@@ -109,8 +123,17 @@ def _aggregate(messages: jax.Array, edge_dst: jax.Array, edge_mask: jax.Array,
     return out.at[batch_idx, edge_dst].add(masked)
 
 
-def _gather(x: jax.Array, idx: jax.Array) -> jax.Array:
-    """x: [B, N, C], idx: [B, E] -> [B, E, C]."""
+def _gather(x: jax.Array, idx: jax.Array,
+            onehot: Optional[jax.Array] = None) -> jax.Array:
+    """x: [B, N, C], idx: [B, E] -> [B, E, C].
+
+    With ``onehot`` ([B, N, E], possibly mask-zeroed) the gather runs as an
+    MXU einsum whose backward is another matmul; without it, a
+    take_along_axis whose backward is a scatter-add (fine on CPU, slow on
+    TPU)."""
+    if onehot is not None:
+        return jnp.einsum("bne,bnc->bec", onehot, x,
+                          preferred_element_type=jnp.float32).astype(x.dtype)
     return jnp.take_along_axis(x, idx[..., None], axis=1)
 
 
@@ -127,16 +150,31 @@ def egnn_apply(
     edge_feat: jax.Array,    # [B, E, Fe]
     edge_mask: jax.Array,    # [B, E]
     scatter_matrix: Optional[jax.Array] = None,
+    src_matrix: Optional[jax.Array] = None,
     aggregation: str = "onehot",
 ) -> Tuple[jax.Array, jax.Array]:
-    """One EGNN layer. Returns (h', x')."""
-    n = h.shape[1]
-    h_src = _gather(h, edge_src)
-    h_dst = _gather(h, edge_dst)
-    x_src = _gather(x, edge_src)
-    x_dst = _gather(x, edge_dst)
+    """One EGNN layer. Returns (h', x').
 
-    x_diff = x_src - x_dst                                     # [B, E, 3]
+    ``scatter_matrix``/``src_matrix``: mask-zeroed dst/src one-hots
+    [B, N, E]; when provided, gathers AND aggregation run as MXU einsums
+    (see module docstring)."""
+    n = h.shape[1]
+    # separate einsum gathers measured FASTER than concatenated [h ++ x]
+    # gathers (15.3 vs 16.5 ms/step at bench shapes): the C=64 h-gathers
+    # hit an efficient MXU path that the concat's C=67 loses
+    h_src = _gather(h, edge_src, src_matrix)
+    h_dst = _gather(h, edge_dst, scatter_matrix)
+    if src_matrix is not None and scatter_matrix is not None:
+        # coords are consumed only as x_src - x_dst: one einsum against the
+        # DIFFERENCE of the one-hots replaces both coordinate gathers
+        x_diff = jnp.einsum("bne,bnc->bec", src_matrix - scatter_matrix,
+                            x.astype(src_matrix.dtype),
+                            preferred_element_type=jnp.float32
+                            ).astype(x.dtype)                  # [B, E, 3]
+    else:
+        x_src = _gather(x, edge_src, src_matrix)
+        x_dst = _gather(x, edge_dst, scatter_matrix)
+        x_diff = x_src - x_dst                                 # [B, E, 3]
     radial = jnp.sum(x_diff * x_diff, axis=-1, keepdims=True)  # [B, E, 1]
     # guard radial=0 (padded edges point 0->0; self-loops): sqrt has an
     # infinite derivative at 0, which would turn masked-out messages into
@@ -208,29 +246,34 @@ def egnn_stack_apply(
         if _pick_tile(edge_dst.shape[1]) == 0:
             aggregation = "onehot"  # edge pad not 128-aligned: fall back
     scatter_matrix = None
+    src_matrix = None
     if aggregation == "onehot":
         scatter_matrix = build_scatter_matrix(edge_dst, edge_mask, h.shape[1], dtype=h.dtype)
+        src_matrix = build_scatter_matrix(edge_src, edge_mask, h.shape[1], dtype=h.dtype)
 
     if aggregation == "onehot_remat":
-        # same math as 'onehot', different residency: the [B, N, E] one-hot
-        # is rebuilt inside EVERY layer and the layer is rematerialized, so
-        # the matrix is never persisted across layers or saved for the
-        # backward pass — it exists only transiently inside each layer's
-        # forward/recompute. Trades its (cheap: iota-compare) construction
-        # FLOPs for the HBM residency of B*N*E*dtype bytes x layers
+        # same math as 'onehot', different residency: the [B, N, E] one-hots
+        # are rebuilt inside EVERY layer and the layer is rematerialized, so
+        # the matrices are never persisted across layers or saved for the
+        # backward pass — they exist only transiently inside each layer's
+        # forward/recompute. Trades their (cheap: iota-compare) construction
+        # FLOPs for the HBM residency of 2*B*N*E*dtype bytes x layers
         # (VERDICT round-1 weak #3).
         def one_remat(params, h, x):
             sm = build_scatter_matrix(edge_dst, edge_mask, h.shape[1],
                                       dtype=h.dtype)
+            srcm = build_scatter_matrix(edge_src, edge_mask, h.shape[1],
+                                        dtype=h.dtype)
             return egnn_apply(params, h, x, edge_src, edge_dst, edge_feat,
-                              edge_mask, scatter_matrix=sm,
+                              edge_mask, scatter_matrix=sm, src_matrix=srcm,
                               aggregation="onehot")
 
         one = jax.checkpoint(one_remat)
     else:
         def one(params, h, x):
             return egnn_apply(params, h, x, edge_src, edge_dst, edge_feat, edge_mask,
-                              scatter_matrix=scatter_matrix, aggregation=aggregation)
+                              scatter_matrix=scatter_matrix, src_matrix=src_matrix,
+                              aggregation=aggregation)
 
     if scan_layers and len(layers) > 2 and aggregation != "pallas":
         h, x = one(layers[0], h, x)  # input layer: different in-dim
