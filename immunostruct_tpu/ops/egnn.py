@@ -151,29 +151,44 @@ def egnn_apply(
     edge_mask: jax.Array,    # [B, E]
     scatter_matrix: Optional[jax.Array] = None,
     src_matrix: Optional[jax.Array] = None,
+    diff_matrix: Optional[jax.Array] = None,
     aggregation: str = "onehot",
 ) -> Tuple[jax.Array, jax.Array]:
     """One EGNN layer. Returns (h', x').
 
     ``scatter_matrix``/``src_matrix``: mask-zeroed dst/src one-hots
     [B, N, E]; when provided, gathers AND aggregation run as MXU einsums
-    (see module docstring)."""
+    (see module docstring). ``diff_matrix``: optional precomputed
+    ``src_matrix - scatter_matrix`` (hoisted by the stack so lax.scan
+    bodies don't rebuild it per layer). Providing exactly one one-hot
+    builds the other here — a mixed einsum/take regime would let masked
+    edges see inconsistent gathered values."""
     n = h.shape[1]
+    if (scatter_matrix is None) != (src_matrix is None):
+        if scatter_matrix is None:
+            scatter_matrix = build_scatter_matrix(edge_dst, edge_mask, n,
+                                                  dtype=h.dtype)
+        else:
+            src_matrix = build_scatter_matrix(edge_src, edge_mask, n,
+                                              dtype=h.dtype)
     # separate einsum gathers measured FASTER than concatenated [h ++ x]
     # gathers (15.3 vs 16.5 ms/step at bench shapes): the C=64 h-gathers
     # hit an efficient MXU path that the concat's C=67 loses
     h_src = _gather(h, edge_src, src_matrix)
     h_dst = _gather(h, edge_dst, scatter_matrix)
-    if src_matrix is not None and scatter_matrix is not None:
+    if src_matrix is not None:
         # coords are consumed only as x_src - x_dst: one einsum against the
-        # DIFFERENCE of the one-hots replaces both coordinate gathers
-        x_diff = jnp.einsum("bne,bnc->bec", src_matrix - scatter_matrix,
-                            x.astype(src_matrix.dtype),
+        # DIFFERENCE of the one-hots replaces both coordinate gathers.
+        # No pre-cast of x: the einsum promotes mixed dtypes itself, so
+        # f32 coordinates keep full precision under bf16 one-hots.
+        if diff_matrix is None:
+            diff_matrix = src_matrix - scatter_matrix
+        x_diff = jnp.einsum("bne,bnc->bec", diff_matrix, x,
                             preferred_element_type=jnp.float32
                             ).astype(x.dtype)                  # [B, E, 3]
     else:
-        x_src = _gather(x, edge_src, src_matrix)
-        x_dst = _gather(x, edge_dst, scatter_matrix)
+        x_src = _gather(x, edge_src, None)
+        x_dst = _gather(x, edge_dst, None)
         x_diff = x_src - x_dst                                 # [B, E, 3]
     radial = jnp.sum(x_diff * x_diff, axis=-1, keepdims=True)  # [B, E, 1]
     # guard radial=0 (padded edges point 0->0; self-loops): sqrt has an
@@ -224,11 +239,14 @@ def egnn_stack_apply(
     aggregation: str = "auto",
     scan_layers: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Run the full conv stack, sharing one scatter matrix across layers.
+    """Run the full conv stack, sharing the one-hot matrices across layers.
 
-    aggregation: 'auto' picks 'pallas' on TPU (fused on-chip one-hot matmul,
-    no HBM scatter matrix) and 'scatter' elsewhere; 'onehot' materializes the
-    [B, N, E] matrix once and shares it across layers.
+    aggregation: 'auto' picks 'onehot' on TPU — src/dst one-hots and their
+    difference are materialized ONCE and shared by all layers; gathers and
+    aggregation all run as MXU einsums (module docstring; 11x step win) —
+    and 'scatter' elsewhere. 'onehot_remat' rebuilds the matrices inside
+    each rematerialized layer (least temp HBM); 'pallas' uses the VMEM
+    kernels (superseded on speed; see benchmarks/RESULTS.md).
 
     scan_layers: roll the identically-shaped hidden convs (layers[1:]) into
     one ``lax.scan`` body — same numerics, ~K-fold smaller HLO (faster
@@ -237,9 +255,6 @@ def egnn_stack_apply(
     """
     if aggregation == "auto":
         platform = jax.devices()[0].platform
-        # onehot matmul measured 80x faster than scatter on TPU v5e
-        # (scripts/perf_sweep.py); 'pallas' is opt-in until validated on the
-        # target toolchain (remote-compile helpers may trail Mosaic features)
         aggregation = "onehot" if platform == "tpu" else "scatter"
     if aggregation == "pallas":
         from immunostruct_tpu.ops.pallas_segment import _pick_tile
@@ -247,9 +262,13 @@ def egnn_stack_apply(
             aggregation = "onehot"  # edge pad not 128-aligned: fall back
     scatter_matrix = None
     src_matrix = None
+    diff_matrix = None
     if aggregation == "onehot":
         scatter_matrix = build_scatter_matrix(edge_dst, edge_mask, h.shape[1], dtype=h.dtype)
         src_matrix = build_scatter_matrix(edge_src, edge_mask, h.shape[1], dtype=h.dtype)
+        # hoisted: lax.scan layer bodies get no cross-iteration CSE, so the
+        # [B,N,E] subtract must not live inside the per-layer closure
+        diff_matrix = src_matrix - scatter_matrix
 
     if aggregation == "onehot_remat":
         # same math as 'onehot', different residency: the [B, N, E] one-hots
@@ -266,14 +285,14 @@ def egnn_stack_apply(
                                         dtype=h.dtype)
             return egnn_apply(params, h, x, edge_src, edge_dst, edge_feat,
                               edge_mask, scatter_matrix=sm, src_matrix=srcm,
-                              aggregation="onehot")
+                              diff_matrix=srcm - sm, aggregation="onehot")
 
         one = jax.checkpoint(one_remat)
     else:
         def one(params, h, x):
             return egnn_apply(params, h, x, edge_src, edge_dst, edge_feat, edge_mask,
                               scatter_matrix=scatter_matrix, src_matrix=src_matrix,
-                              aggregation=aggregation)
+                              diff_matrix=diff_matrix, aggregation=aggregation)
 
     if scan_layers and len(layers) > 2 and aggregation != "pallas":
         h, x = one(layers[0], h, x)  # input layer: different in-dim

@@ -115,6 +115,57 @@ class TestEGNN:
         np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), rtol=1e-4, atol=1e-5)
 
+    def test_scatter_vs_onehot_gradients_agree(self, rng):
+        """The round-2 einsum-gather rewrite changed the EGNN BACKWARD pass
+        (gather VJPs became matmuls): gradients through the full stack must
+        match the take_along_axis/scatter-add path, including masked-edge
+        gradient zeroing and the (S_src - S_dst) coordinate einsum."""
+        b, n, e = 3, 9, 20
+        hs, xs, srcs, dsts = zip(*[random_graph(rng, n, e) for _ in range(b)])
+        h = jnp.asarray(np.stack(hs))
+        x = jnp.asarray(np.stack(xs))
+        src = jnp.asarray(np.stack(srcs))
+        dst = jnp.asarray(np.stack(dsts))
+        ef = jnp.ones((b, e, 1))
+        em = jnp.asarray(rng.random((b, e)) > 0.3)
+        params = egnn_stack_init(jax.random.key(4), 3, 20, 16)
+
+        def loss(params, h, x, agg):
+            ho, xo = egnn_stack_apply(params, h, x, src, dst, ef, em,
+                                      aggregation=agg)
+            return jnp.sum(ho ** 2) + jnp.sum(xo ** 3)
+
+        grad_fn = jax.grad(loss, argnums=(0, 1, 2))
+        g_sc = grad_fn(params, h, x, "scatter")
+        g_oh = grad_fn(params, h, x, "onehot")
+        for a, b_ in zip(jax.tree.leaves(g_sc), jax.tree.leaves(g_oh)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-4, atol=2e-5)
+
+    def test_single_onehot_matrix_builds_the_other(self, rng):
+        """egnn_apply with exactly one one-hot provided must behave like the
+        both-matrices path (no mixed einsum/take regime)."""
+        b, n, e = 2, 7, 12
+        hs, xs, srcs, dsts = zip(*[random_graph(rng, n, e) for _ in range(b)])
+        h = jnp.asarray(np.stack(hs))
+        x = jnp.asarray(np.stack(xs))
+        src = jnp.asarray(np.stack(srcs))
+        dst = jnp.asarray(np.stack(dsts))
+        ef = jnp.ones((b, e, 1))
+        em = jnp.asarray(rng.random((b, e)) > 0.4)
+        params = egnn_init(jax.random.key(0), 20, 16, 16)
+        from immunostruct_tpu.ops.egnn import build_scatter_matrix, egnn_apply
+        sm = build_scatter_matrix(dst, em, n)
+        srcm = build_scatter_matrix(src, em, n)
+        h_full, x_full = egnn_apply(params, h, x, src, dst, ef, em,
+                                    scatter_matrix=sm, src_matrix=srcm)
+        h_one, x_one = egnn_apply(params, h, x, src, dst, ef, em,
+                                  scatter_matrix=sm)
+        np.testing.assert_allclose(np.asarray(h_one), np.asarray(h_full),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(x_one), np.asarray(x_full),
+                                   rtol=1e-5, atol=1e-6)
+
     def test_onehot_remat_matches_onehot_values_and_grads(self, rng):
         """'onehot_remat' is the same math with different residency: values
         AND gradients must match the plain one-hot path."""
