@@ -30,7 +30,7 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     # TPU-native knobs (new)
     p.add_argument("--compute-dtype", default="bfloat16", type=str)
     p.add_argument("--aggregation", default="auto",
-                   choices=["auto", "onehot", "onehot_remat", "scatter",
+                   choices=["auto", "fused", "onehot", "onehot_remat", "scatter",
                             "pallas"],
                    help="EGNN message aggregation: 'onehot' (fastest, holds "
                         "the [B,N,E] matrix), 'onehot_remat' (~4x less temp "

@@ -79,7 +79,7 @@ class Config:
     mesh_shape: str = "data"         # 1-D data-parallel mesh by default
     data_parallel: bool = False      # shard batches over all local devices
     donate_state: bool = True
-    aggregation: str = "auto"        # 'auto'|'onehot'|'scatter'|'pallas' EGNN aggregation
+    aggregation: str = "auto"        # 'auto'|'fused'|'onehot'|'scatter'|'pallas' EGNN aggregation
     resume: bool = False             # within-stage resume from .resume snapshots
     device_data: bool = False        # HBM-resident corpus + on-device batching
     grad_accum_steps: int = 1        # scanned microbatches per optimizer step

@@ -36,7 +36,15 @@ Aggregation strategies:
              all layers) and reused by all 6 conv layers.
   'onehot_remat' same math, one-hots rebuilt inside each rematerialized
              layer (never persisted across layers/backward).
-  'auto'     'onehot' on TPU, 'scatter' otherwise.
+  'fused'    gathers/aggregation as one-hot einsums like 'onehot', but the
+             gathers pull [h ++ x] bundles in the TRANSPOSED edge layout
+             [B, C, E] and the whole edge program (radial/x_hat, edge MLP,
+             coord MLP, msg_x) runs in ONE Pallas kernel per layer with
+             in-kernel backward recompute (ops/pallas_edge.py) — no
+             edge-space intermediate ever hits HBM and no diff one-hot
+             matrix exists. Measured 14.6 -> 11.3 ms/step on the flagship
+             fused train step at bench shapes (round 3).
+  'auto'     'fused' on TPU, 'scatter' otherwise.
 
 Masking note: the gather one-hots are mask-zeroed like the aggregation
 matrix. A masked edge therefore gathers zeros instead of node values —
@@ -141,6 +149,43 @@ def _gather(x: jax.Array, idx: jax.Array,
 # Forward
 # --------------------------------------------------------------------------
 
+def _egnn_apply_fused(params, h, x, edge_feat, scatter_matrix, src_matrix):
+    """One EGNN layer with the edge/coord MLP chain in a fused Pallas kernel.
+
+    Same math as the 'onehot' path; the gathers emit the TRANSPOSED edge
+    layout [B, C, E] (the physical layout XLA assigns to edge tensors
+    anyway) and the whole MLP chain runs in VMEM with in-kernel backward
+    recompute (ops/pallas_edge.py). Gathers/aggregation stay XLA einsums.
+    """
+    import jax as _jax
+    from immunostruct_tpu.ops.pallas_edge import edge_program, pack_params
+
+    interpret = _jax.devices()[0].platform != "tpu"
+    # gather [h ++ x] bundles straight into the kernel's transposed edge
+    # layout; the kernel derives x_diff internally, so no diff one-hot
+    # matrix ([B,N,E] build + per-layer reads) exists on this path
+    hx = jnp.concatenate([h, x.astype(h.dtype)], axis=-1)  # [B,N,F+3]
+    hsxT = jnp.einsum("bne,bnc->bce", src_matrix, hx,
+                      preferred_element_type=jnp.float32).astype(h.dtype)
+    hdxT = jnp.einsum("bne,bnc->bce", scatter_matrix, hx,
+                      preferred_element_type=jnp.float32).astype(h.dtype)
+    efT = jnp.swapaxes(edge_feat, 1, 2).astype(h.dtype)    # [B,1,E]
+
+    w1ab, w2, wc1, small = pack_params(params["edge_mlp"],
+                                       params["coord_mlp"])
+    bothT = edge_program(hsxT, hdxT, efT, w1ab, w2, wc1, small, interpret)
+    agg = jnp.einsum("bne,bce->bnc", scatter_matrix, bothT,
+                     preferred_element_type=jnp.float32).astype(bothT.dtype)
+    c = agg.shape[-1] - 3
+    h_agg, x_agg = agg[..., :c], agg[..., c:].astype(x.dtype)
+
+    hn = jnp.concatenate([h, h_agg], axis=-1)
+    hn = linear_apply(params["node_mlp"][0], hn)
+    hn = jax.nn.silu(hn)
+    hn = linear_apply(params["node_mlp"][1], hn)
+    return hn, x + x_agg
+
+
 def egnn_apply(
     params: dict,
     h: jax.Array,            # [B, N, F]
@@ -164,6 +209,15 @@ def egnn_apply(
     builds the other here — a mixed einsum/take regime would let masked
     edges see inconsistent gathered values."""
     n = h.shape[1]
+    if aggregation == "fused":
+        if scatter_matrix is None:
+            scatter_matrix = build_scatter_matrix(edge_dst, edge_mask, n,
+                                                  dtype=h.dtype)
+        if src_matrix is None:
+            src_matrix = build_scatter_matrix(edge_src, edge_mask, n,
+                                              dtype=h.dtype)
+        return _egnn_apply_fused(params, h, x, edge_feat, scatter_matrix,
+                                 src_matrix)
     if (scatter_matrix is None) != (src_matrix is None):
         if scatter_matrix is None:
             scatter_matrix = build_scatter_matrix(edge_dst, edge_mask, n,
@@ -241,10 +295,11 @@ def egnn_stack_apply(
 ) -> Tuple[jax.Array, jax.Array]:
     """Run the full conv stack, sharing the one-hot matrices across layers.
 
-    aggregation: 'auto' picks 'onehot' on TPU — src/dst one-hots and their
-    difference are materialized ONCE and shared by all layers; gathers and
-    aggregation all run as MXU einsums (module docstring; 11x step win) —
-    and 'scatter' elsewhere. 'onehot_remat' rebuilds the matrices inside
+    aggregation: 'auto' picks 'fused' on TPU — src/dst one-hots are
+    materialized ONCE and shared by all layers; gathers/aggregation run as
+    MXU einsums and the per-layer edge program runs in a fused Pallas
+    kernel (module docstring) — and 'scatter' elsewhere. 'onehot' is the
+    pure-XLA variant of the same one-hot formulation. 'onehot_remat' rebuilds the matrices inside
     each rematerialized layer (least temp HBM); 'pallas' uses the VMEM
     kernels (superseded on speed; see benchmarks/RESULTS.md).
 
@@ -255,20 +310,27 @@ def egnn_stack_apply(
     """
     if aggregation == "auto":
         platform = jax.devices()[0].platform
-        aggregation = "onehot" if platform == "tpu" else "scatter"
+        aggregation = "fused" if platform == "tpu" else "scatter"
     if aggregation == "pallas":
         from immunostruct_tpu.ops.pallas_segment import _pick_tile
         if _pick_tile(edge_dst.shape[1]) == 0:
             aggregation = "onehot"  # edge pad not 128-aligned: fall back
+    if aggregation == "fused":
+        from immunostruct_tpu.ops.pallas_edge import pick_tile
+        if pick_tile(edge_dst.shape[1]) == 0 or edge_feat.shape[-1] != 1:
+            aggregation = "onehot"  # unsupported shapes: fall back
     scatter_matrix = None
     src_matrix = None
     diff_matrix = None
-    if aggregation == "onehot":
+    if aggregation in ("onehot", "fused"):
         scatter_matrix = build_scatter_matrix(edge_dst, edge_mask, h.shape[1], dtype=h.dtype)
         src_matrix = build_scatter_matrix(edge_src, edge_mask, h.shape[1], dtype=h.dtype)
-        # hoisted: lax.scan layer bodies get no cross-iteration CSE, so the
-        # [B,N,E] subtract must not live inside the per-layer closure
-        diff_matrix = src_matrix - scatter_matrix
+        if aggregation == "onehot":
+            # hoisted: lax.scan layer bodies get no cross-iteration CSE, so
+            # the [B,N,E] subtract must not live inside the per-layer
+            # closure. (The fused path needs no diff matrix at all: the
+            # kernel derives x_diff from the gathered [h ++ x] bundles.)
+            diff_matrix = src_matrix - scatter_matrix
 
     if aggregation == "onehot_remat":
         # same math as 'onehot', different residency: the [B, N, E] one-hots
