@@ -222,14 +222,17 @@ def _bwd_kernel(hsx_ref, hdx_ref, ef_ref,
     dw1ab_ref[...] += outerT(hsd, d_a1)
     dw2_ref[...] += outerT(a1s, d_p2)
     dwc1_ref[...] += outerT(m, d_p3)
-    dsmall_ref[...] += jnp.concatenate([
-        jnp.sum(rad_b.astype(jnp.float32) * d_a1f, axis=1, keepdims=True),
-        jnp.sum(ef.astype(jnp.float32) * d_a1f, axis=1, keepdims=True),
-        jnp.sum(d_a1f, axis=1, keepdims=True),
-        jnp.sum(d_p2.astype(jnp.float32), axis=1, keepdims=True),
-        jnp.sum(d_p3.astype(jnp.float32), axis=1, keepdims=True),
-        jnp.sum(c1.astype(jnp.float32) * d_cw, axis=1, keepdims=True),
-    ], axis=1)
+    # bias/rank-1 grads as MXU dots against stacked rows (measured
+    # equivalent to VPU lane reductions at bench shapes; kept on the MXU
+    # to leave VPU headroom)
+    ones = jnp.ones_like(d_cw)                             # [1,T] f32
+    lhs3 = jnp.concatenate([rad_b.astype(jnp.float32),
+                            ef.astype(jnp.float32), ones], axis=0)  # [3,T]
+    d3 = outerT(d_a1f, lhs3)                               # [H,3]
+    db2 = outerT(d_p2.astype(jnp.float32), ones)           # [H,1]
+    dbc1 = outerT(d_p3.astype(jnp.float32), ones)
+    dwc2 = outerT(c1.astype(jnp.float32), d_cw)
+    dsmall_ref[...] += jnp.concatenate([d3, db2, dbc1, dwc2], axis=1)
 
 
 def _edge_spec(c, t):
