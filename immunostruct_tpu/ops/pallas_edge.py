@@ -64,10 +64,14 @@ def pick_tile(e: int, hid: int = 64) -> int:
     Budget: ~14 live [H,T]-f32-equivalent buffers + double-buffered blocks,
     kept under ~12 MB of the ~16 MB VMEM.
     """
-    for t in (2560, 2048, 1536, 1280, 1024, 768, 640, 512, 384, 256, 128):
-        if e % t == 0 and t * max(hid, 8) * 56 <= 12 * 1024 * 1024:
-            return t
-    return 0
+    budget = 12 * 1024 * 1024 // (max(hid, 8) * 56)
+    best = 0
+    t = 128
+    while t <= e:
+        if e % t == 0 and t <= budget:
+            best = t
+        t += 128
+    return best
 
 
 def _silu_grad(x, s):

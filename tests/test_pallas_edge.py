@@ -118,3 +118,19 @@ def test_fused_falls_back_on_unsupported_shapes():
     l = _loss(params, h, x, esrc, edst, efeat, emask, "fused")
     l_ref = _loss(params, h, x, esrc, edst, efeat, emask, "onehot")
     np.testing.assert_allclose(float(l), float(l_ref), rtol=1e-6)
+
+
+def test_fused_with_scan_layers_matches():
+    params, h, x, esrc, edst, efeat, emask = _toy(seed=11)
+
+    def loss_scan(p, scan):
+        hn, xn = eg.egnn_stack_apply(p, h, x, esrc, edst, efeat, emask,
+                                     aggregation="fused", scan_layers=scan)
+        return jnp.sum(hn ** 2) * 1e-3 + jnp.sum(xn ** 2) * 1e-3
+
+    l_plain, g_plain = jax.value_and_grad(loss_scan)(params, False)
+    l_scan, g_scan = jax.value_and_grad(loss_scan)(params, True)
+    np.testing.assert_allclose(float(l_scan), float(l_plain), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_scan)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
