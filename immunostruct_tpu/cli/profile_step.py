@@ -1,0 +1,97 @@
+"""Profile the flagship train step: device-time per source line.
+
+    python -m immunostruct_tpu.cli.profile_step [--model HybridModelv2]
+        [--batch 128] [--nodes 288] [--edges 2560] [--aggregation auto]
+        [--steps 10] [--logdir /tmp/immuno_profile]
+
+Prints a table of ms/step attributed to the Python source lines whose
+dots landed in each XLA fusion, plus bucketed categories for copies /
+Pallas kernels / everything else. This is the tool that drove the round-3
+kernel work (benchmarks/RESULTS.md).
+
+No reference equivalent — the reference has no profiling (SURVEY.md
+section 5); this is TPU-native observability built on jax.profiler +
+optimized-HLO metadata (utils/attribution.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--model", default="HybridModelv2")
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--nodes", type=int, default=288)
+    ap.add_argument("--edges", type=int, default=2560)
+    ap.add_argument("--seq-len", type=int, default=284)
+    ap.add_argument("--aggregation", default="auto")
+    ap.add_argument("--compute-dtype", default=None,
+                    help="default: bfloat16 on TPU, float32 elsewhere")
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--logdir", default="/tmp/immuno_profile")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from immunostruct_tpu.models import build_model
+    from immunostruct_tpu.procedures.train import Trainer, make_optimizer
+    from immunostruct_tpu.structs import GraphBatch, SampleBatch
+    from immunostruct_tpu.utils.attribution import profile_fn
+    from immunostruct_tpu.utils.losses import LossConfig
+    from immunostruct_tpu.utils.schedule import constant_lr
+
+    b, n, e = args.batch, args.nodes, args.edges
+    rng = np.random.default_rng(0)
+    onehot = np.zeros((b, n, 20), np.float32)
+    for i in range(b):
+        onehot[i, np.arange(n), rng.integers(0, 20, n)] = 1.0
+    graph = GraphBatch(
+        node_feat=jnp.asarray(onehot),
+        coords=jnp.asarray(rng.standard_normal((b, n, 3)).astype(np.float32)),
+        edge_src=jnp.asarray(rng.integers(0, n, (b, e)).astype(np.int32)),
+        edge_dst=jnp.asarray(rng.integers(0, n, (b, e)).astype(np.int32)),
+        edge_feat=jnp.ones((b, e, 1), jnp.float32),
+        edge_mask=jnp.ones((b, e), bool),
+        node_mask=jnp.ones((b, n), bool),
+        num_nodes=jnp.full((b,), n, jnp.int32))
+    batch = SampleBatch(
+        graph=graph,
+        seq_onehot=jnp.asarray(rng.random((b, args.seq_len, 21)).astype(np.float32)),
+        props=jnp.asarray(rng.random((b, 2)).astype(np.float32)),
+        target=jnp.asarray((rng.random(b) > 0.5).astype(np.float32)),
+        aux_residue=None)
+
+    platform = jax.devices()[0].platform
+    dtype = jnp.dtype(args.compute_dtype) if args.compute_dtype else (
+        jnp.bfloat16 if platform == "tpu" else jnp.float32)
+    vae_dim = args.seq_len * 21
+    spec, params = build_model(args.model, vae_dim, jax.random.key(0))
+    trainer = Trainer(spec, LossConfig(vae_dim, pos_weight=1.0, sequence=True),
+                      binary=True,
+                      optimizer=make_optimizer("adam", constant_lr(1e-3)),
+                      aggregation=args.aggregation, compute_dtype=dtype,
+                      donate=False)
+    state = trainer.init_state(params)
+    key = jax.random.key(1)
+
+    stepj = jax.jit(lambda s: trainer._train_step(s, batch, key))
+    rows = profile_fn(stepj, (state,), args.logdir,
+                      steps=args.steps, warmup=args.warmup,
+                      thread_state=True)
+    total = sum(ms for ms, _ in rows)
+    print(f"# model={args.model} aggregation={args.aggregation} "
+          f"platform={platform} B={b} N={n} E={e} "
+          f"device_total={total:.2f} ms/step")
+    for ms, label in rows[:args.top]:
+        print(f"{ms:9.3f} ms/step  {label}")
+
+
+if __name__ == "__main__":
+    main()

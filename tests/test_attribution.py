@@ -1,0 +1,64 @@
+"""Tests for device-time attribution (utils/attribution.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from immunostruct_tpu.utils.attribution import (
+    attribute, describe_computation, parse_hlo_bodies, parse_hlo_fusions,
+    profile_fn,
+)
+
+_HLO = """\
+ENTRY %main {
+  %p0 = f32[8,8]{1,0} parameter(0)
+  %fusion.1 = f32[8,8]{1,0} fusion(%p0), kind=kOutput, calls=%fused_computation.1
+  ROOT %fusion.2 = f32[8,8]{1,0} fusion(%fusion.1), kind=kLoop, calls=%fused_computation.2
+}
+
+%fused_computation.1 (param_0: f32[8,8]) -> f32[8,8] {
+  %param_0 = f32[8,8]{1,0} parameter(0)
+  ROOT %dot.0 = f32[8,8]{1,0} dot(%param_0, %param_0), metadata={op_name="jit/dot" source_file="/repo/mod/a.py" source_line=42}
+}
+
+%fused_computation.2 (param_0: f32[8,8]) -> f32[8,8] {
+  %param_0 = f32[8,8]{1,0} parameter(0)
+  ROOT %add.0 = f32[8,8]{1,0} add(%param_0, %param_0), metadata={op_name="jit/add" source_file="/repo/mod/b.py" source_line=7}
+}
+"""
+
+
+def test_parse_and_describe():
+    call_of = parse_hlo_fusions(_HLO)
+    assert call_of["fusion.1"] == "fused_computation.1"
+    bodies = parse_hlo_bodies(_HLO)
+    assert describe_computation(bodies["fused_computation.1"]) == "a.py:42"
+    assert describe_computation(bodies["fused_computation.2"]) == "~b.py:7"
+
+
+def test_attribute_buckets_and_sorts():
+    durations = {"fusion.1": 3000.0, "fusion.2": 1000.0,
+                 "copy-done.5": 500.0, "jvp__edge": 250.0}
+    rows = attribute(durations, _HLO, steps=10)
+    labels = dict((label, ms) for ms, label in rows)
+    assert labels["a.py:42"] == 0.3
+    assert labels["~b.py:7"] == 0.1
+    assert labels["[copy-done]"] == 0.05
+    assert labels["[pallas-kernel:jvp__edge]"] == 0.025
+    assert rows[0][1] == "a.py:42"
+
+
+def test_profile_fn_runs_and_threads_state(tmp_path):
+    @jax.jit
+    def step(s):
+        ns = s @ s * 1e-3 + s
+        return ns, jnp.sum(ns)
+
+    s0 = jnp.eye(8)
+    rows = profile_fn(step, (s0,), str(tmp_path / "trace"), steps=2,
+                      warmup=1, thread_state=True)
+    assert isinstance(rows, list)
+    # CPU traces may or may not carry hlo_category args; the call contract
+    # (sorted [(ms, label)] tuples) must hold either way
+    for ms, label in rows:
+        assert ms >= 0 and isinstance(label, str)
