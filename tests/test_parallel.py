@@ -179,3 +179,34 @@ class TestShardedTraining:
         state, hist = trainer.fit(state, pipe, pipe, 1, jax.random.key(0),
                                   verbose=False)
         assert np.isfinite(hist["train_loss"]).all()
+
+
+class TestFusedUnderDP:
+    def test_sharded_fused_step_matches_single_device(self, tmp_path, mesh):
+        """The production TPU path (aggregation='fused', Pallas edge-program
+        kernel, interpret mode here) composes with data parallelism: one DP
+        step over 8 shards == the same step on one device."""
+        cfg, spec, params, loss_cfg, batch = _setup(tmp_path)
+        from immunostruct_tpu.ops.pallas_edge import pick_tile
+        assert pick_tile(batch.graph.edge_src.shape[1]) > 0, \
+            "corpus edge pad must exercise the fused path, not the fallback"
+        opt = make_optimizer("adam", constant_lr(1e-3))
+
+        single = Trainer(spec, loss_cfg, binary=False, optimizer=opt,
+                         aggregation="fused", donate=False)
+        s_state = single.init_state(params)
+        s_state, s_loss = single._train_step(s_state, batch, jax.random.key(3))
+
+        sharded = make_sharded_trainer(spec, loss_cfg, binary=False,
+                                       optimizer=opt, mesh=mesh,
+                                       aggregation="fused", donate=False)
+        d_state = sharded.init_state(params)
+        d_batch = shard_batch(batch, mesh)
+        d_state, d_loss = sharded._train_step(d_state, d_batch,
+                                              jax.random.key(3))
+
+        assert float(d_loss) == pytest.approx(float(s_loss), rel=1e-5)
+        for a, b in zip(jax.tree.leaves(s_state.params),
+                        jax.tree.leaves(d_state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-6)
