@@ -187,8 +187,22 @@ class TestFusedUnderDP:
         kernel, interpret mode here) composes with data parallelism: one DP
         step over 8 shards == the same step on one device."""
         cfg, spec, params, loss_cfg, batch = _setup(tmp_path)
+        # re-pad edges to a 128 multiple so the Pallas path engages (the
+        # tiny test corpus pads to 16s); masked pad edges are numerically
+        # inert in every mode
+        import dataclasses
+        g = batch.graph
+        e = g.edge_src.shape[1]
+        pad = (-e) % 128
+        g = dataclasses.replace(
+            g,
+            edge_src=jnp.pad(g.edge_src, ((0, 0), (0, pad))),
+            edge_dst=jnp.pad(g.edge_dst, ((0, 0), (0, pad))),
+            edge_feat=jnp.pad(g.edge_feat, ((0, 0), (0, pad), (0, 0))),
+            edge_mask=jnp.pad(g.edge_mask, ((0, 0), (0, pad))))
+        batch = dataclasses.replace(batch, graph=g)
         from immunostruct_tpu.ops.pallas_edge import pick_tile
-        assert pick_tile(batch.graph.edge_src.shape[1]) > 0, \
+        assert pick_tile(g.edge_src.shape[1]) > 0, \
             "corpus edge pad must exercise the fused path, not the fallback"
         opt = make_optimizer("adam", constant_lr(1e-3))
 
