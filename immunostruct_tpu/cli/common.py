@@ -40,9 +40,14 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="shard batches over all local devices")
     p.add_argument("--resume", action="store_true",
                    help="continue an interrupted stage from its .resume snapshot")
-    p.add_argument("--device-data", action="store_true",
+    p.add_argument("--device-data", action=argparse.BooleanOptionalAction,
+                   default=None,
                    help="keep the corpus HBM-resident and batch on device "
-                        "(no per-step host work; requires augmentation off)")
+                        "(no per-step host work; augmented/SSL transforms "
+                        "run on device). Default: auto — on when training "
+                        "on a TPU without --data-parallel and the corpus "
+                        "fits comfortably in HBM. --no-device-data forces "
+                        "the host pipeline")
     p.add_argument("--grad-accum-steps", default=1, type=int,
                    help="scanned microbatches per optimizer step (batch-size "
                         "must be divisible; keeps per-chunk working sets at "
@@ -57,28 +62,89 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     return p
 
 
-def pick_pipeline(config, comparative: bool, ssl: bool):
-    """BatchPipeline by default; Device*Pipeline with --device-data.
+def _corpus_device_bytes(dataset) -> int:
+    """Estimate of what build_device_corpus would upload (sequence one-hots
+    go up as uint8; everything else keeps its host dtype). Walks the
+    dataset and its graph corpus generically so comparative (paired)
+    datasets are covered too."""
+    import numpy as np
 
-    Augmented/SSL configurations run the transforms ON DEVICE
-    (data/device_augment.py: jax-PRNG rotations + maskings inside jit) —
-    validated on the TPU in round 2, so --device-data now covers every
-    configuration instead of only the augmentation-free ones."""
+    total = 0
+    seen = set()
+    def walk(obj, depth=0):
+        nonlocal total
+        if id(obj) in seen or depth > 3 or obj is None:
+            return
+        seen.add(id(obj))
+        if isinstance(obj, np.ndarray):
+            if obj.dtype == np.float32 and obj.ndim >= 2 and obj.shape[-1] in (20, 21):
+                total += obj.size          # one-hots: uint8 on device
+            else:
+                total += obj.nbytes
+            return
+        d = getattr(obj, "__dict__", None)
+        if isinstance(d, dict):
+            for v in d.values():
+                walk(v, depth + 1)
+    walk(dataset)
+    return total
+
+
+def pick_pipeline(config, comparative: bool, ssl: bool):
+    """Host BatchPipeline or HBM-resident Device*Pipeline.
+
+    device_data=True forces the device pipeline, False forces host, and
+    the default "auto" (flag left unset) picks the device pipeline when
+    training single-chip on a TPU and the corpus fits comfortably in HBM —
+    the train step is ~5x faster than the host pipeline can feed it
+    (benchmarks/RESULTS.md), so device residency is the production
+    default. Augmented/SSL configurations run the transforms ON DEVICE
+    (data/device_augment.py: jax-PRNG rotations + maskings inside jit)."""
     import functools
 
     from immunostruct_tpu.data import BatchPipeline, ComparativePipeline
-    if getattr(config, "device_data", False):
-        from immunostruct_tpu.data.device_pipeline import (
-            DevicePipeline, ComparativeDevicePipeline,
-        )
-        wants_augment = (
-            ssl or config.force_graph_augmentation
-            or (config.sequence_pad_count > 0 and config.full_sequence))
-        cls = ComparativeDevicePipeline if comparative else DevicePipeline
-        if wants_augment:
-            return functools.partial(cls, device_augment=True)
-        return cls
-    return ComparativePipeline if comparative else BatchPipeline
+
+    host_cls = ComparativePipeline if comparative else BatchPipeline
+    dd = getattr(config, "device_data", None)
+    if dd is None:
+        dd = "auto"
+    if dd is False:
+        return host_cls
+
+    from immunostruct_tpu.data.device_pipeline import (
+        DevicePipeline, ComparativeDevicePipeline,
+    )
+    wants_augment = (
+        ssl or config.force_graph_augmentation
+        or (config.sequence_pad_count > 0 and config.full_sequence))
+    cls = ComparativeDevicePipeline if comparative else DevicePipeline
+    dev_factory = (functools.partial(cls, device_augment=True)
+                   if wants_augment else cls)
+    if dd is True:
+        return dev_factory
+
+    # auto: decide per-dataset at construction time
+    def auto_factory(dataset, indices, **kw):
+        import jax
+
+        if (jax.devices()[0].platform != "tpu"
+                or getattr(config, "data_parallel", False)
+                or jax.process_count() > 1):
+            return host_cls(dataset, indices, **kw)
+        # leave headroom for params/activations/compiler scratch: use the
+        # device pipeline only when the corpus is a small fraction of HBM
+        budget = 6 * (1 << 30)
+        if _corpus_device_bytes(dataset) > budget:
+            return host_cls(dataset, indices, **kw)
+        try:
+            return dev_factory(dataset, indices, **kw)
+        except (ValueError, AssertionError):
+            # configurations the device pipeline declines fall back loudly
+            print("device-data auto: falling back to the host pipeline "
+                  "for this configuration")
+            return host_cls(dataset, indices, **kw)
+
+    return auto_factory
 
 
 def to_config(args: argparse.Namespace, **extra) -> Config:

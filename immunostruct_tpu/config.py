@@ -81,7 +81,10 @@ class Config:
     donate_state: bool = True
     aggregation: str = "auto"        # 'auto'|'fused'|'onehot'|'scatter'|'pallas' EGNN aggregation
     resume: bool = False             # within-stage resume from .resume snapshots
-    device_data: bool = False        # HBM-resident corpus + on-device batching
+    # HBM-resident corpus + on-device batching: True forces it, False
+    # forces the host pipeline, None = "auto" (device pipeline when
+    # training single-chip on TPU and the corpus fits; cli/common.py)
+    device_data: object = None
     grad_accum_steps: int = 1        # scanned microbatches per optimizer step
     scan_layers: bool = False        # lax.scan over the identical EGNN convs
     # explicit opt-in: contrastive statistics per microbatch under grad accum

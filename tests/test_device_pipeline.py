@@ -101,3 +101,33 @@ def test_rejects_augmentation_flags(setup):
     with pytest.raises(ValueError):
         DevicePipeline(ds, np.arange(4), split="train", binary=True, full=True,
                        config=cfg2)  # augmentation requires device_augment=True
+
+
+def test_pick_pipeline_auto_and_forced(setup):
+    """device_data=None ('auto') picks host off-TPU; True/False force."""
+    import dataclasses
+    import numpy as np
+    from immunostruct_tpu.cli.common import pick_pipeline, _corpus_device_bytes
+    from immunostruct_tpu.data import BatchPipeline
+    from immunostruct_tpu.data.device_pipeline import DevicePipeline
+
+    cfg, ds = setup
+    cfg = dataclasses.replace(cfg)
+    idx = np.arange(8)
+    kw = dict(split="train", binary=True, full=True, config=cfg)
+
+    cfg.device_data = None
+    auto = pick_pipeline(cfg, comparative=False, ssl=False)
+    pipe = auto(ds, idx, **kw)
+    # tests run on CPU (conftest): auto must land on the host pipeline
+    assert isinstance(pipe, BatchPipeline)
+
+    cfg.device_data = False
+    assert pick_pipeline(cfg, comparative=False, ssl=False) is BatchPipeline
+
+    cfg.device_data = True
+    forced = pick_pipeline(cfg, comparative=False, ssl=False)
+    pipe = forced(ds, idx, **kw)
+    assert isinstance(pipe, DevicePipeline)
+
+    assert _corpus_device_bytes(ds) > 0
