@@ -32,10 +32,13 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--aggregation", default="auto",
                    choices=["auto", "fused", "onehot", "onehot_remat", "scatter",
                             "pallas"],
-                   help="EGNN message aggregation: 'onehot' (fastest, holds "
-                        "the [B,N,E] matrix), 'onehot_remat' (~4x less temp "
-                        "HBM for ~1.5x step time), 'scatter', 'pallas' "
-                        "(fused VMEM kernels), 'auto' picks per platform")
+                   help="EGNN message aggregation: 'fused' (one-hot einsum "
+                        "gathers + the Pallas edge-program kernel; the "
+                        "fastest path and the TPU default), 'onehot' "
+                        "(pure-XLA one-hot matmuls), 'onehot_remat' (less "
+                        "temp HBM), 'scatter' (CPU default), 'pallas' "
+                        "(superseded per-op kernels), 'auto' picks 'fused' "
+                        "on TPU / 'scatter' elsewhere")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard batches over all local devices")
     p.add_argument("--resume", action="store_true",
@@ -60,34 +63,6 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "combining --coeff-contrastive with "
                         "--grad-accum-steps > 1 (otherwise an error)")
     return p
-
-
-def _corpus_device_bytes(dataset) -> int:
-    """Estimate of what build_device_corpus would upload (sequence one-hots
-    go up as uint8; everything else keeps its host dtype). Walks the
-    dataset and its graph corpus generically so comparative (paired)
-    datasets are covered too."""
-    import numpy as np
-
-    total = 0
-    seen = set()
-    def walk(obj, depth=0):
-        nonlocal total
-        if id(obj) in seen or depth > 3 or obj is None:
-            return
-        seen.add(id(obj))
-        if isinstance(obj, np.ndarray):
-            if obj.dtype == np.float32 and obj.ndim >= 2 and obj.shape[-1] in (20, 21):
-                total += obj.size          # one-hots: uint8 on device
-            else:
-                total += obj.nbytes
-            return
-        d = getattr(obj, "__dict__", None)
-        if isinstance(d, dict):
-            for v in d.values():
-                walk(v, depth + 1)
-    walk(dataset)
-    return total
 
 
 def pick_pipeline(config, comparative: bool, ssl: bool):
@@ -131,10 +106,13 @@ def pick_pipeline(config, comparative: bool, ssl: bool):
                 or getattr(config, "data_parallel", False)
                 or jax.process_count() > 1):
             return host_cls(dataset, indices, **kw)
-        # leave headroom for params/activations/compiler scratch: use the
-        # device pipeline only when the corpus is a small fraction of HBM
-        budget = 6 * (1 << 30)
-        if _corpus_device_bytes(dataset) > budget:
+        # leave headroom for params/activations/compiler scratch AND for
+        # sibling datasets (the Cancer flagship holds IEDB + comparative +
+        # clinical corpora at once; uploads are shared per dataset via
+        # build_device_corpus's cache, so this budget is per dataset)
+        from immunostruct_tpu.data.device_pipeline import estimate_device_bytes
+        budget = int(2.5 * (1 << 30))
+        if estimate_device_bytes(dataset, full=kw.get("full", True)) > budget:
             return host_cls(dataset, indices, **kw)
         try:
             return dev_factory(dataset, indices, **kw)

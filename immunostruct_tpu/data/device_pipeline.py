@@ -57,8 +57,62 @@ jax.tree_util.register_dataclass(
     meta_fields=[])
 
 
+# one upload per (dataset, binary, full, device): train/val/test pipelines
+# over the same dataset — and successive curriculum stages reusing it —
+# share a single HBM-resident corpus instead of each uploading a copy
+# (peak-HBM fix: previously up to 5 simultaneous copies across a stage
+# transition). Keyed by id(dataset) with a weakref guard (the dataset
+# dataclass is unhashable, so no WeakKeyDictionary); dead entries are
+# swept on every access so corpora die with their datasets.
+import weakref
+
+_CORPUS_CACHE: dict = {}  # id(ds) -> (weakref.ref(ds), {key: corpus})
+
+
+def _corpus_cache_for(ds) -> dict:
+    for k in [k for k, (ref, _) in _CORPUS_CACHE.items() if ref() is None]:
+        del _CORPUS_CACHE[k]
+    entry = _CORPUS_CACHE.get(id(ds))
+    if entry is None or entry[0]() is not ds:
+        entry = (weakref.ref(ds), {})
+        _CORPUS_CACHE[id(ds)] = entry
+    return entry[1]
+
+
+def estimate_device_bytes(ds, *, full: bool = True) -> int:
+    """Bytes build_device_corpus would upload, computed from the SAME
+    fields it uploads (sequences and node one-hots go up as uint8).
+    Handles paired (comparative) datasets via their cancer/wt halves."""
+    if hasattr(ds, "cancer") and hasattr(ds, "wt"):
+        return (estimate_device_bytes(ds.cancer, full=full)
+                + estimate_device_bytes(ds.wt, full=full))
+    seq = ds.seq_full if full else ds.seq_pep
+    g = ds.graphs
+    m = seq.shape[0]
+    return int(
+        seq.size                      # uint8 on device
+        + m * (2 * 4 + 4 + 4)         # props f32, target f32, graph_idx i32
+        + g.node_onehot.size          # uint8 on device
+        + g.coords.size * 4
+        + g.edge_src.size * 4 + g.edge_dst.size * 4
+        + g.edge_mask.size + g.node_mask.size
+        + g.num_nodes.size * 4)
+
+
 def build_device_corpus(ds: ImmunoDataset, *, binary: bool, full: bool,
                         device=None) -> DeviceCorpus:
+    cache_key = (bool(binary), bool(full), id(device))
+    per_ds = _corpus_cache_for(ds)
+    hit = per_ds.get(cache_key)
+    if hit is not None:
+        return hit
+    corpus = _build_device_corpus(ds, binary=binary, full=full, device=device)
+    per_ds[cache_key] = corpus
+    return corpus
+
+
+def _build_device_corpus(ds: ImmunoDataset, *, binary: bool, full: bool,
+                         device=None) -> DeviceCorpus:
     seq = ds.seq_full if full else ds.seq_pep
     target = ds.immuno if binary else ds.foreign_norm
     g = ds.graphs

@@ -318,7 +318,14 @@ def egnn_stack_apply(
     if aggregation == "fused":
         from immunostruct_tpu.ops.pallas_edge import pick_tile
         if pick_tile(edge_dst.shape[1]) == 0 or edge_feat.shape[-1] != 1:
-            aggregation = "onehot"  # unsupported shapes: fall back
+            import warnings
+            warnings.warn(
+                f"aggregation='fused' unsupported for edge count "
+                f"{edge_dst.shape[1]} / edge_feat size "
+                f"{edge_feat.shape[-1]} (needs a 128-multiple edge pad and "
+                f"1-dim edge features); falling back to 'onehot'",
+                stacklevel=2)
+            aggregation = "onehot"
     scatter_matrix = None
     src_matrix = None
     diff_matrix = None

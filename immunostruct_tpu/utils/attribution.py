@@ -123,6 +123,12 @@ def profile_fn(fn: Callable, args: tuple, logdir: str, steps: int = 10,
             a = (out[0],) + tuple(a[1:])
         return a, fn(*a)
 
+    import shutil
+
+    # jax.profiler writes a new timestamped subdir per run and never cleans
+    # old ones; a reused logdir would double-count durations across runs
+    shutil.rmtree(logdir, ignore_errors=True)
+
     out = None
     a = tuple(args)
     for _ in range(warmup):

@@ -107,7 +107,8 @@ def test_pick_pipeline_auto_and_forced(setup):
     """device_data=None ('auto') picks host off-TPU; True/False force."""
     import dataclasses
     import numpy as np
-    from immunostruct_tpu.cli.common import pick_pipeline, _corpus_device_bytes
+    from immunostruct_tpu.cli.common import pick_pipeline
+    from immunostruct_tpu.data.device_pipeline import estimate_device_bytes
     from immunostruct_tpu.data import BatchPipeline
     from immunostruct_tpu.data.device_pipeline import DevicePipeline
 
@@ -130,4 +131,22 @@ def test_pick_pipeline_auto_and_forced(setup):
     pipe = forced(ds, idx, **kw)
     assert isinstance(pipe, DevicePipeline)
 
-    assert _corpus_device_bytes(ds) > 0
+    assert estimate_device_bytes(ds) > 0
+
+
+def test_device_corpus_shared_across_pipelines(setup):
+    """Pipelines over the same dataset reuse ONE uploaded corpus (the
+    peak-HBM fix: train/val/test + stage transitions previously each
+    uploaded a copy)."""
+    import numpy as np
+    from immunostruct_tpu.data.device_pipeline import DevicePipeline
+
+    cfg, ds = setup
+    a = DevicePipeline(ds, np.arange(8), split="train", binary=True,
+                       full=True, config=cfg)
+    b = DevicePipeline(ds, np.arange(8, 16), split="val", binary=True,
+                       full=True, config=cfg)
+    assert a.corpus is b.corpus
+    c = DevicePipeline(ds, np.arange(8), split="train", binary=False,
+                       full=True, config=cfg)
+    assert c.corpus is not a.corpus  # different target selection
