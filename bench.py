@@ -53,8 +53,15 @@ NODES = 288
 EDGES = 2560
 SEQ_LEN = 284  # ~283-token chains
 
+# Secondary shape: corpora produced by THIS repo's featurizer on the real
+# cedar chains pad to ~1280-1408 directed edges (~4.4 avg degree at CA
+# granularity; scripts/realdata_e2e.py). The headline stays at the
+# conservative round-1 assumption above; the realistic-shape rate is
+# reported alongside, clearly labeled.
+EDGES_REALISTIC = 1408
 
-def build_inputs():
+
+def build_inputs(edges: int = EDGES):
     import jax.numpy as jnp
     from immunostruct_tpu.structs import GraphBatch, SampleBatch
 
@@ -65,10 +72,10 @@ def build_inputs():
     graph = GraphBatch(
         node_feat=jnp.asarray(onehot),
         coords=jnp.asarray(rng.standard_normal((BATCH, NODES, 3)).astype(np.float32)),
-        edge_src=jnp.asarray(rng.integers(0, NODES, (BATCH, EDGES)).astype(np.int32)),
-        edge_dst=jnp.asarray(rng.integers(0, NODES, (BATCH, EDGES)).astype(np.int32)),
-        edge_feat=jnp.ones((BATCH, EDGES, 1), jnp.float32),
-        edge_mask=jnp.ones((BATCH, EDGES), bool),
+        edge_src=jnp.asarray(rng.integers(0, NODES, (BATCH, edges)).astype(np.int32)),
+        edge_dst=jnp.asarray(rng.integers(0, NODES, (BATCH, edges)).astype(np.int32)),
+        edge_feat=jnp.ones((BATCH, edges, 1), jnp.float32),
+        edge_mask=jnp.ones((BATCH, edges), bool),
         node_mask=jnp.ones((BATCH, NODES), bool),
         num_nodes=jnp.full((BATCH,), NODES, jnp.int32),
     )
@@ -219,6 +226,26 @@ def main():
     peak = peak_flops(device, "bfloat16" if platform == "tpu" else "float32")
     achieved = model_flops / (p50 / 1e3)
 
+    # secondary: the same step at realistic corpus edge counts (shorter
+    # window; labeled clearly in the output)
+    realistic_sps = None
+    realistic_ms = None
+    if platform == "tpu":
+        batch_r = build_inputs(EDGES_REALISTIC)
+        # the primary windows DONATED the original state (and with it the
+        # param buffers); rebuild fresh params for the secondary run
+        _, params_r = build_model("HybridModelv2", vae_dim, jax.random.key(0))
+        state_r = trainer.init_state(params_r)
+        for _ in range(3):
+            state_r, loss_r = trainer._train_step(state_r, batch_r, key)
+        float(loss_r)
+        t0 = time.perf_counter()
+        for _ in range(60):
+            state_r, loss_r = trainer._train_step(state_r, batch_r, key)
+        float(loss_r)
+        realistic_ms = (time.perf_counter() - t0) / 60 * 1e3
+        realistic_sps = BATCH / (realistic_ms / 1e3)
+
     # re-calibrate after the measurement; correct by the mean of both
     if peak_cal:
         share_after = measure_pool_share(peak_cal)
@@ -252,6 +279,14 @@ def main():
         "mfu_pct_uncontended_est": (
             round(100.0 * achieved / (peak * share), 2)
             if (peak and share) else None),
+        # secondary, clearly-labeled shape: edge pad this repo's featurizer
+        # produces on the real cedar chains (E=1408 vs the conservative
+        # headline E=2560)
+        "samples_per_sec_realistic_edges": (
+            round(realistic_sps, 1) if realistic_sps else None),
+        "ms_per_step_realistic_edges": (
+            round(realistic_ms, 3) if realistic_ms else None),
+        "realistic_edges": EDGES_REALISTIC if realistic_sps else None,
         "n_params": n_params,
         "device": getattr(device, "device_kind", platform),
     }
