@@ -101,6 +101,27 @@ def main(num_samples=512, epochs=3, batch_size=128):
     assert np.isfinite(ssl_loss), "augmented SSL step produced non-finite loss"
     print(f"device-augmented SSL epoch: {n_steps} steps in "
           f"{time.perf_counter() - t0:.2f}s, loss={ssl_loss:.4f}")
+
+    # cross-mode numerics ON THIS accelerator: the fused Pallas path and
+    # the pure-XLA onehot path must agree to compute-dtype roundoff on the
+    # same batch/params (CI proves this in f32 interpret mode;
+    # the hardware Mosaic kernel is what serves production)
+    if platform == "tpu":
+        losses = {}
+        for agg in ("fused", "onehot"):
+            tr2 = Trainer(ssl_spec, ssl_cfg, binary=True,
+                          optimizer=make_optimizer("adam", constant_lr(1e-3)),
+                          aggregation=agg,
+                          compute_dtype=jnp.dtype(cfg.compute_dtype),
+                          donate=False)
+            st2 = tr2.init_state(ssl_params)
+            _, l2 = tr2._train_step(st2, batch, jax.random.key(9))
+            losses[agg] = float(l2)
+        rel = abs(losses["fused"] - losses["onehot"]) / max(
+            abs(losses["onehot"]), 1e-12)
+        assert rel < 5e-3, f"fused/onehot on-chip mismatch: {losses} rel={rel:.2e}"
+        print(f"fused vs onehot on-chip: {losses['fused']:.5f} vs "
+              f"{losses['onehot']:.5f} (rel {rel:.1e})")
     print("E2E OK")
 
 

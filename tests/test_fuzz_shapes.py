@@ -46,3 +46,38 @@ def test_random_configs(seed, tmp_path):
             f"non-finite logits: n={num_samples} bs={batch_size} model={model}"
         total += out.logits.shape[0]
     assert total == len(ds)
+
+
+@pytest.mark.parametrize("seed", [515, 626])
+def test_random_configs_fused(seed, tmp_path):
+    """Same fuzz through the fused Pallas path (interpret mode on CPU) with
+    128-multiple edge pads so the kernel engages; checked against scatter."""
+    rng = np.random.default_rng(seed)
+    num_samples = int(rng.integers(5, 20))
+    batch_size = int(rng.integers(2, 7))
+    hla_len = int(rng.integers(20, 60))
+    model = str(rng.choice(["HybridModel", "HybridModelv2", "StructureModel"]))
+
+    cfg = Config(batch_size=batch_size, pad_nodes_multiple=8,
+                 pad_edges_multiple=128, compute_dtype="float32",
+                 aggregation="fused")
+    gd, pp, hp = synthetic_corpus(str(tmp_path), num_samples=num_samples,
+                                  hla_len=hla_len, seed=seed)
+    ds = ImmunoDataset.load(cfg, gd, pp, hp)
+    pipe = BatchPipeline(ds, np.arange(len(ds)), split="train", binary=True,
+                         full=True, config=cfg)
+    vae_dim = ds.seq_full.shape[1] * 21
+    spec, params = build_model(model, vae_dim, jax.random.key(seed))
+
+    for batch in pipe.epoch(0):
+        out_f = model_apply(params, spec, batch.graph, batch.seq_onehot,
+                            batch.props, jax.random.key(1),
+                            deterministic=True, aggregation="fused")
+        out_s = model_apply(params, spec, batch.graph, batch.seq_onehot,
+                            batch.props, jax.random.key(1),
+                            deterministic=True, aggregation="scatter")
+        lf, ls = np.asarray(out_f.logits), np.asarray(out_s.logits)
+        assert np.isfinite(lf).all()
+        np.testing.assert_allclose(lf, ls, rtol=5e-3,
+                                   atol=5e-3 * max(1.0, np.abs(ls).max()))
+        break  # one batch per config: interpret mode is slow
