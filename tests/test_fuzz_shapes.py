@@ -81,3 +81,37 @@ def test_random_configs_fused(seed, tmp_path):
         np.testing.assert_allclose(lf, ls, rtol=5e-3,
                                    atol=5e-3 * max(1.0, np.abs(ls).max()))
         break  # one batch per config: interpret mode is slow
+
+
+@pytest.mark.parametrize("seed", [717, 828])
+def test_device_pipeline_matches_host_fuzz(seed, tmp_path):
+    """Random configs: the (now default-on-TPU) device pipeline yields the
+    SAME batches as the host pipeline — same rows, same values."""
+    from immunostruct_tpu.data.device_pipeline import DevicePipeline
+
+    rng = np.random.default_rng(seed)
+    num_samples = int(rng.integers(6, 24))
+    batch_size = int(rng.integers(2, 9))
+    hla_len = int(rng.integers(20, 70))
+    full = bool(rng.integers(0, 2))
+    binary = bool(rng.integers(0, 2))
+
+    cfg = Config(batch_size=batch_size, pad_nodes_multiple=8,
+                 pad_edges_multiple=128, compute_dtype="float32",
+                 aggregation="scatter")
+    gd, pp, hp = synthetic_corpus(str(tmp_path), num_samples=num_samples,
+                                  hla_len=hla_len, seed=seed)
+    ds = ImmunoDataset.load(cfg, gd, pp, hp)
+    idx = np.arange(len(ds))
+    host = BatchPipeline(ds, idx, split="val", binary=binary, full=full,
+                         config=cfg, shuffle=False)
+    dev = DevicePipeline(ds, idx, split="val", binary=binary, full=full,
+                         config=cfg, shuffle=False, pad_final_batch=False)
+    n = 0
+    for hb, db in zip(host.epoch(0), dev.epoch(0)):
+        for a, b in zip(jax.tree.leaves(hb), jax.tree.leaves(db)):
+            np.testing.assert_allclose(np.asarray(a, dtype=np.float32),
+                                       np.asarray(b, dtype=np.float32),
+                                       rtol=1e-6, atol=1e-6)
+        n += 1
+    assert n == len(host)
