@@ -226,6 +226,11 @@ def main():
     peak = peak_flops(device, "bfloat16" if platform == "tpu" else "float32")
     achieved = model_flops / (p50 / 1e3)
 
+    # re-calibrate after the PRIMARY window (before the secondary-shape run, whose recompile would sample contention at an unrelated time); correct by the mean of both
+    if peak_cal:
+        share_after = measure_pool_share(peak_cal)
+        share = (share + share_after) / 2.0
+
     # secondary: the same step at realistic corpus edge counts (shorter
     # window; labeled clearly in the output)
     realistic_sps = None
@@ -246,10 +251,6 @@ def main():
         realistic_ms = (time.perf_counter() - t0) / 60 * 1e3
         realistic_sps = BATCH / (realistic_ms / 1e3)
 
-    # re-calibrate after the measurement; correct by the mean of both
-    if peak_cal:
-        share_after = measure_pool_share(peak_cal)
-        share = (share + share_after) / 2.0
 
     out = {
         "metric": "train_samples_per_sec_per_chip",

@@ -83,6 +83,8 @@ def pick_pipeline(config, comparative: bool, ssl: bool):
     dd = getattr(config, "device_data", None)
     if dd is None:
         dd = "auto"
+    if dd != "auto":
+        dd = bool(dd)   # accept 0/1/np.bool_ etc. as explicit forcing
     if dd is False:
         return host_cls
 
@@ -114,6 +116,13 @@ def pick_pipeline(config, comparative: bool, ssl: bool):
         budget = int(2.5 * (1 << 30))
         if estimate_device_bytes(dataset, full=kw.get("full", True)) > budget:
             return host_cls(dataset, indices, **kw)
+        # reference-parity batching when auto-selected: the device
+        # pipeline's own default pads the trailing partial TRAIN batch
+        # with duplicated rows (SGD-friendly, but a numerics change the
+        # user never asked for). Auto keeps the host pipeline's partial
+        # final batch; explicit --device-data keeps the documented
+        # padding default.
+        kw.setdefault("pad_final_batch", False)
         try:
             return dev_factory(dataset, indices, **kw)
         except (ValueError, AssertionError):

@@ -101,14 +101,20 @@ def estimate_device_bytes(ds, *, full: bool = True) -> int:
 
 def build_device_corpus(ds: ImmunoDataset, *, binary: bool, full: bool,
                         device=None) -> DeviceCorpus:
-    cache_key = (bool(binary), bool(full), id(device))
+    # cache the BIG fields (sequences, graphs) per (full, device) only; the
+    # target vector is the one [M]-float field that depends on ``binary``,
+    # so curriculum stages flipping binary (train_Cancer_wFT stages 2->3)
+    # share one corpus upload instead of keeping two resident
+    cache_key = (bool(full), id(device))
     per_ds = _corpus_cache_for(ds)
-    hit = per_ds.get(cache_key)
-    if hit is not None:
-        return hit
-    corpus = _build_device_corpus(ds, binary=binary, full=full, device=device)
-    per_ds[cache_key] = corpus
-    return corpus
+    base = per_ds.get(cache_key)
+    if base is None:
+        base = _build_device_corpus(ds, binary=binary, full=full,
+                                    device=device)
+        per_ds[cache_key] = base
+    target = ds.immuno if binary else ds.foreign_norm
+    return dataclasses.replace(
+        base, target=jax.device_put(target, device=device))
 
 
 def _build_device_corpus(ds: ImmunoDataset, *, binary: bool, full: bool,

@@ -157,10 +157,9 @@ def _egnn_apply_fused(params, h, x, edge_feat, scatter_matrix, src_matrix):
     anyway) and the whole MLP chain runs in VMEM with in-kernel backward
     recompute (ops/pallas_edge.py). Gathers/aggregation stay XLA einsums.
     """
-    import jax as _jax
     from immunostruct_tpu.ops.pallas_edge import edge_program, pack_params
 
-    interpret = _jax.devices()[0].platform != "tpu"
+    interpret = jax.devices()[0].platform != "tpu"
     # gather [h ++ x] bundles straight into the kernel's transposed edge
     # layout; the kernel derives x_diff internally, so no diff one-hot
     # matrix ([B,N,E] build + per-layer reads) exists on this path
@@ -178,7 +177,11 @@ def _egnn_apply_fused(params, h, x, edge_feat, scatter_matrix, src_matrix):
                      preferred_element_type=jnp.float32).astype(bothT.dtype)
     c = agg.shape[-1] - 3
     h_agg, x_agg = agg[..., :c], agg[..., c:].astype(x.dtype)
+    return _node_update(params, h, x, h_agg, x_agg)
 
+
+def _node_update(params, h, x, h_agg, x_agg):
+    """Shared layer epilogue: h' = node_mlp([h ++ agg]); x' = x + x_agg."""
     hn = jnp.concatenate([h, h_agg], axis=-1)
     hn = linear_apply(params["node_mlp"][0], hn)
     hn = jax.nn.silu(hn)
@@ -209,6 +212,15 @@ def egnn_apply(
     builds the other here — a mixed einsum/take regime would let masked
     edges see inconsistent gathered values."""
     n = h.shape[1]
+    if aggregation == "fused":
+        from immunostruct_tpu.ops.pallas_edge import pick_tile
+        if pick_tile(edge_dst.shape[1]) == 0 or edge_feat.shape[-1] != 1:
+            import warnings
+            warnings.warn(
+                f"aggregation='fused' unsupported for edge count "
+                f"{edge_dst.shape[1]} / edge_feat size {edge_feat.shape[-1]}; "
+                "falling back to 'onehot'", stacklevel=2)
+            aggregation = "onehot"
     if aggregation == "fused":
         if scatter_matrix is None:
             scatter_matrix = build_scatter_matrix(edge_dst, edge_mask, n,
@@ -278,11 +290,7 @@ def egnn_apply(
             agg = _aggregate(both, edge_dst, edge_mask, n, scatter_matrix)
         h_agg, x_agg = agg[..., : m.shape[-1]], agg[..., m.shape[-1]:].astype(x.dtype)
 
-    hn = jnp.concatenate([h, h_agg], axis=-1)
-    hn = linear_apply(params["node_mlp"][0], hn)
-    hn = jax.nn.silu(hn)
-    hn = linear_apply(params["node_mlp"][1], hn)
-    return hn, x + x_agg
+    return _node_update(params, h, x, h_agg, x_agg)
 
 
 def egnn_stack_apply(

@@ -126,7 +126,10 @@ def profile_fn(fn: Callable, args: tuple, logdir: str, steps: int = 10,
     import shutil
 
     # jax.profiler writes a new timestamped subdir per run and never cleans
-    # old ones; a reused logdir would double-count durations across runs
+    # old ones; a reused logdir would double-count durations across runs.
+    # Trace into a private subdirectory and clear only THAT, so a caller
+    # pointing logdir at a directory with existing data never loses it.
+    logdir = os.path.join(logdir, "_attribution_run")
     shutil.rmtree(logdir, ignore_errors=True)
 
     out = None

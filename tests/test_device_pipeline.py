@@ -146,7 +146,11 @@ def test_device_corpus_shared_across_pipelines(setup):
                        full=True, config=cfg)
     b = DevicePipeline(ds, np.arange(8, 16), split="val", binary=True,
                        full=True, config=cfg)
-    assert a.corpus is b.corpus
+    # corpora are rebuilt objects sharing the uploaded big fields
+    assert a.corpus.node_onehot is b.corpus.node_onehot
+    assert a.corpus.seq is b.corpus.seq
     c = DevicePipeline(ds, np.arange(8), split="train", binary=False,
                        full=True, config=cfg)
-    assert c.corpus is not a.corpus  # different target selection
+    # binary flip swaps only the target vector; big fields stay shared
+    assert c.corpus.node_onehot is a.corpus.node_onehot
+    assert c.corpus.target is not a.corpus.target
