@@ -62,28 +62,9 @@ EDGES_REALISTIC = 1408
 
 
 def build_inputs(edges: int = EDGES):
-    import jax.numpy as jnp
-    from immunostruct_tpu.structs import GraphBatch, SampleBatch
+    from immunostruct_tpu.data.synthetic import random_sample_batch
 
-    rng = np.random.default_rng(0)
-    onehot = np.zeros((BATCH, NODES, 20), np.float32)
-    for b in range(BATCH):
-        onehot[b, np.arange(NODES), rng.integers(0, 20, NODES)] = 1.0
-    graph = GraphBatch(
-        node_feat=jnp.asarray(onehot),
-        coords=jnp.asarray(rng.standard_normal((BATCH, NODES, 3)).astype(np.float32)),
-        edge_src=jnp.asarray(rng.integers(0, NODES, (BATCH, edges)).astype(np.int32)),
-        edge_dst=jnp.asarray(rng.integers(0, NODES, (BATCH, edges)).astype(np.int32)),
-        edge_feat=jnp.ones((BATCH, edges, 1), jnp.float32),
-        edge_mask=jnp.ones((BATCH, edges), bool),
-        node_mask=jnp.ones((BATCH, NODES), bool),
-        num_nodes=jnp.full((BATCH,), NODES, jnp.int32),
-    )
-    seq = jnp.asarray(rng.random((BATCH, SEQ_LEN, 21)).astype(np.float32))
-    props = jnp.asarray(rng.random((BATCH, 2)).astype(np.float32))
-    target = jnp.asarray((rng.random(BATCH) > 0.5).astype(np.float32))
-    return SampleBatch(graph=graph, seq_onehot=seq, props=props,
-                       target=target, aux_residue=None)
+    return random_sample_batch(BATCH, NODES, edges, SEQ_LEN, seed=0)
 
 
 _SHARE_PROBES = {}

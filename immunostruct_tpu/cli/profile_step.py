@@ -18,8 +18,6 @@ from __future__ import annotations
 
 import argparse
 
-import numpy as np
-
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
@@ -42,31 +40,14 @@ def main(argv=None):
 
     from immunostruct_tpu.models import build_model
     from immunostruct_tpu.procedures.train import Trainer, make_optimizer
-    from immunostruct_tpu.structs import GraphBatch, SampleBatch
     from immunostruct_tpu.utils.attribution import profile_fn
     from immunostruct_tpu.utils.losses import LossConfig
     from immunostruct_tpu.utils.schedule import constant_lr
 
+    from immunostruct_tpu.data.synthetic import random_sample_batch
+
     b, n, e = args.batch, args.nodes, args.edges
-    rng = np.random.default_rng(0)
-    onehot = np.zeros((b, n, 20), np.float32)
-    for i in range(b):
-        onehot[i, np.arange(n), rng.integers(0, 20, n)] = 1.0
-    graph = GraphBatch(
-        node_feat=jnp.asarray(onehot),
-        coords=jnp.asarray(rng.standard_normal((b, n, 3)).astype(np.float32)),
-        edge_src=jnp.asarray(rng.integers(0, n, (b, e)).astype(np.int32)),
-        edge_dst=jnp.asarray(rng.integers(0, n, (b, e)).astype(np.int32)),
-        edge_feat=jnp.ones((b, e, 1), jnp.float32),
-        edge_mask=jnp.ones((b, e), bool),
-        node_mask=jnp.ones((b, n), bool),
-        num_nodes=jnp.full((b,), n, jnp.int32))
-    batch = SampleBatch(
-        graph=graph,
-        seq_onehot=jnp.asarray(rng.random((b, args.seq_len, 21)).astype(np.float32)),
-        props=jnp.asarray(rng.random((b, 2)).astype(np.float32)),
-        target=jnp.asarray((rng.random(b) > 0.5).astype(np.float32)),
-        aux_residue=None)
+    batch = random_sample_batch(b, n, e, args.seq_len, seed=0)
 
     platform = jax.devices()[0].platform
     dtype = jnp.dtype(args.compute_dtype) if args.compute_dtype else (

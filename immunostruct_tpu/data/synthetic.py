@@ -226,3 +226,37 @@ def synthetic_clinical_corpus(root: str, num_rows: int = 40, num_patients: int =
     seq_df.to_csv(seq_path, sep="\t", index=False)
     clin.to_csv(clin_path, sep="\t", index=False)
     return graph_dir, seq_path, clin_path
+
+
+def random_sample_batch(batch: int, nodes: int, edges: int, seq_len: int,
+                        seed: int = 0):
+    """In-memory random SampleBatch at given padded shapes (no files).
+
+    The canonical flagship-shaped input used by bench.py and
+    cli/profile_step.py — one definition so the two stay in sync.
+    """
+    import jax.numpy as jnp
+
+    from immunostruct_tpu.structs import GraphBatch, SampleBatch
+
+    rng = np.random.default_rng(seed)
+    onehot = np.zeros((batch, nodes, 20), np.float32)
+    for b in range(batch):
+        onehot[b, np.arange(nodes), rng.integers(0, 20, nodes)] = 1.0
+    graph = GraphBatch(
+        node_feat=jnp.asarray(onehot),
+        coords=jnp.asarray(
+            rng.standard_normal((batch, nodes, 3)).astype(np.float32)),
+        edge_src=jnp.asarray(rng.integers(0, nodes, (batch, edges)).astype(np.int32)),
+        edge_dst=jnp.asarray(rng.integers(0, nodes, (batch, edges)).astype(np.int32)),
+        edge_feat=jnp.ones((batch, edges, 1), jnp.float32),
+        edge_mask=jnp.ones((batch, edges), bool),
+        node_mask=jnp.ones((batch, nodes), bool),
+        num_nodes=jnp.full((batch,), nodes, jnp.int32),
+    )
+    return SampleBatch(
+        graph=graph,
+        seq_onehot=jnp.asarray(rng.random((batch, seq_len, 21)).astype(np.float32)),
+        props=jnp.asarray(rng.random((batch, 2)).astype(np.float32)),
+        target=jnp.asarray((rng.random(batch) > 0.5).astype(np.float32)),
+        aux_residue=None)

@@ -131,6 +131,21 @@ def _aggregate(messages: jax.Array, edge_dst: jax.Array, edge_mask: jax.Array,
     return out.at[batch_idx, edge_dst].add(masked)
 
 
+def _fused_or_fallback(edge_dst: jax.Array, edge_feat: jax.Array) -> str:
+    """'fused' when the Pallas edge-program kernel supports these shapes
+    (128-multiple edge pad, 1-dim edge features), else warn + 'onehot'."""
+    from immunostruct_tpu.ops.pallas_edge import pick_tile
+    if pick_tile(edge_dst.shape[1]) == 0 or edge_feat.shape[-1] != 1:
+        import warnings
+        warnings.warn(
+            f"aggregation='fused' unsupported for edge count "
+            f"{edge_dst.shape[1]} / edge_feat size {edge_feat.shape[-1]} "
+            "(needs a 128-multiple edge pad and 1-dim edge features); "
+            "falling back to 'onehot'", stacklevel=3)
+        return "onehot"
+    return "fused"
+
+
 def _gather(x: jax.Array, idx: jax.Array,
             onehot: Optional[jax.Array] = None) -> jax.Array:
     """x: [B, N, C], idx: [B, E] -> [B, E, C].
@@ -213,14 +228,7 @@ def egnn_apply(
     edges see inconsistent gathered values."""
     n = h.shape[1]
     if aggregation == "fused":
-        from immunostruct_tpu.ops.pallas_edge import pick_tile
-        if pick_tile(edge_dst.shape[1]) == 0 or edge_feat.shape[-1] != 1:
-            import warnings
-            warnings.warn(
-                f"aggregation='fused' unsupported for edge count "
-                f"{edge_dst.shape[1]} / edge_feat size {edge_feat.shape[-1]}; "
-                "falling back to 'onehot'", stacklevel=2)
-            aggregation = "onehot"
+        aggregation = _fused_or_fallback(edge_dst, edge_feat)
     if aggregation == "fused":
         if scatter_matrix is None:
             scatter_matrix = build_scatter_matrix(edge_dst, edge_mask, n,
@@ -324,16 +332,7 @@ def egnn_stack_apply(
         if _pick_tile(edge_dst.shape[1]) == 0:
             aggregation = "onehot"  # edge pad not 128-aligned: fall back
     if aggregation == "fused":
-        from immunostruct_tpu.ops.pallas_edge import pick_tile
-        if pick_tile(edge_dst.shape[1]) == 0 or edge_feat.shape[-1] != 1:
-            import warnings
-            warnings.warn(
-                f"aggregation='fused' unsupported for edge count "
-                f"{edge_dst.shape[1]} / edge_feat size "
-                f"{edge_feat.shape[-1]} (needs a 128-multiple edge pad and "
-                f"1-dim edge features); falling back to 'onehot'",
-                stacklevel=2)
-            aggregation = "onehot"
+        aggregation = _fused_or_fallback(edge_dst, edge_feat)
     scatter_matrix = None
     src_matrix = None
     diff_matrix = None

@@ -45,6 +45,7 @@ Used by ops/egnn.py aggregation='fused'. CPU/tests run interpret mode.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -106,14 +107,20 @@ def _geometry(xd):
     return rad_b, radf, inv_s
 
 
-def _chain_fwd(hsd, rad_b, ef, w1ab, w2, wc1, small, dtype):
-    """Shared forward recompute.
+class _Chain(NamedTuple):
+    """Forward-recompute intermediates: f32 pre-activations a1/p2/p3 and
+    their sigmoids s1/s2/s3 (reused by the backward's silu-grad so
+    transcendentals are computed once); activations a1s/m/c1 ALREADY cast
+    to the compute dtype; cw in f32."""
 
-    Returns (a1, s1, a1s, p2, s2, m, p3, s3, c1, cw_f32): pre-activations
-    a1/p2/p3 and their sigmoids (f32, reused by the backward's silu-grad so
-    transcendentals are computed once), activations a1s/m/c1 ALREADY cast
-    to ``dtype``.
-    """
+    a1: object; s1: object; a1s: object
+    p2: object; s2: object; m: object
+    p3: object; s3: object; c1: object
+    cw: object
+
+
+def _chain_fwd(hsd, rad_b, ef, w1ab, w2, wc1, small, dtype) -> "_Chain":
+    """Shared forward recompute (see _Chain)."""
     smf = small.astype(jnp.float32)
     a1 = (_dotT(w1ab, hsd, dtype)
           + smf[:, _W1R:_W1R + 1] * rad_b.astype(jnp.float32)
@@ -129,7 +136,7 @@ def _chain_fwd(hsd, rad_b, ef, w1ab, w2, wc1, small, dtype):
     c1 = (p3 * s3).astype(dtype)
     cw = jnp.sum(c1.astype(jnp.float32) * smf[:, _WC2:_WC2 + 1],
                  axis=0, keepdims=True)                   # [1,T] f32
-    return a1, s1, a1s, p2, s2, m, p3, s3, c1, cw
+    return _Chain(a1, s1, a1s, p2, s2, m, p3, s3, c1, cw)
 
 
 def _fwd_kernel(hsx_ref, hdx_ref, ef_ref,
@@ -140,12 +147,12 @@ def _fwd_kernel(hsx_ref, hdx_ref, ef_ref,
     xd = hsx[f_in:] - hdx[f_in:]                          # [3,T]
     rad_b, _, inv_s = _geometry(xd)
     hsd = jnp.concatenate([hsx[:f_in], hdx[:f_in]], axis=0)
-    *_, m, _, _, _, cw = _chain_fwd(
+    ch = _chain_fwd(
         hsd, rad_b, ef_ref[0], w1ab_ref[...], w2_ref[...], wc1_ref[...],
         small_ref[...], dtype)
     x_hat = xd.astype(jnp.float32) * inv_s
-    msgx = (cw.astype(dtype).astype(jnp.float32) * x_hat).astype(dtype)
-    out_ref[0] = jnp.concatenate([m, msgx], axis=0)
+    msgx = (ch.cw.astype(dtype).astype(jnp.float32) * x_hat).astype(dtype)
+    out_ref[0] = jnp.concatenate([ch.m, msgx], axis=0)
 
 
 def _bwd_kernel(hsx_ref, hdx_ref, ef_ref,
@@ -162,7 +169,7 @@ def _bwd_kernel(hsx_ref, hdx_ref, ef_ref,
     hsd = jnp.concatenate([hsx[:f_in], hdx[:f_in]], axis=0)
     a1, s1, a1s, p2, s2, m, p3, s3, c1, cw = _chain_fwd(
         hsd, rad_b, ef, w1ab_ref[...], w2_ref[...], wc1_ref[...],
-        small_ref[...], dtype)
+        small_ref[...], dtype)  # unpacked: every field is used below
 
     smf = small_ref[...].astype(jnp.float32)
     xdf = xd.astype(jnp.float32)
@@ -249,15 +256,20 @@ def _whole_spec(shp):
                         memory_space=pltpu.VMEM)
 
 
-def _fwd_call(hsx, hdx, ef, w1ab, w2, wc1, small, interpret):
+def _call_setup(hsx, w1ab, w2, wc1, small):
+    """Shared grid/spec preamble for both kernel launches."""
     b, f3, e = hsx.shape
-    f_in = f3 - 3
     hid = w2.shape[1]
     t = pick_tile(e, hid)
     assert t, f"edge count {e} has no 128-multiple tile"
-    grid = (b, e // t)
     in_specs = [_edge_spec(f3, t), _edge_spec(f3, t), _edge_spec(1, t)] + [
         _whole_spec(w.shape) for w in (w1ab, w2, wc1, small)]
+    return b, f3, e, f3 - 3, hid, t, (b, e // t), in_specs
+
+
+def _fwd_call(hsx, hdx, ef, w1ab, w2, wc1, small, interpret):
+    b, f3, e, f_in, hid, t, grid, in_specs = _call_setup(
+        hsx, w1ab, w2, wc1, small)
     out_specs = _edge_spec(hid + 3, t)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, f_in=f_in),
@@ -268,14 +280,9 @@ def _fwd_call(hsx, hdx, ef, w1ab, w2, wc1, small, interpret):
 
 
 def _bwd_call(hsx, hdx, ef, w1ab, w2, wc1, small, dout, interpret):
-    b, f3, e = hsx.shape
-    f_in = f3 - 3
-    hid = w2.shape[1]
-    t = pick_tile(e, hid)
-    grid = (b, e // t)
-    in_specs = [_edge_spec(f3, t), _edge_spec(f3, t), _edge_spec(1, t)] + [
-        _whole_spec(w.shape) for w in (w1ab, w2, wc1, small)] + [
-        _edge_spec(hid + 3, t)]
+    b, f3, e, f_in, hid, t, grid, in_specs = _call_setup(
+        hsx, w1ab, w2, wc1, small)
+    in_specs = in_specs + [_edge_spec(hid + 3, t)]
     out_specs = [_edge_spec(f3, t), _edge_spec(f3, t), _edge_spec(1, t)] + [
         _whole_spec(w.shape) for w in (w1ab, w2, wc1, small)]
     out_shape = [
