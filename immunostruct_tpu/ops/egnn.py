@@ -131,11 +131,18 @@ def _aggregate(messages: jax.Array, edge_dst: jax.Array, edge_mask: jax.Array,
     return out.at[batch_idx, edge_dst].add(masked)
 
 
-def _fused_or_fallback(edge_dst: jax.Array, edge_feat: jax.Array) -> str:
+def _on_tpu() -> bool:
+    return jax.devices()[0].platform == "tpu"
+
+
+def _fused_or_fallback(edge_dst: jax.Array, edge_feat: jax.Array,
+                       hidden_size: int = 64) -> str:
     """'fused' when the Pallas edge-program kernel supports these shapes
-    (128-multiple edge pad, 1-dim edge features), else warn + 'onehot'."""
+    (128-multiple edge pad within the VMEM tile budget for this hidden
+    size, 1-dim edge features), else warn + 'onehot'."""
     from immunostruct_tpu.ops.pallas_edge import pick_tile
-    if pick_tile(edge_dst.shape[1]) == 0 or edge_feat.shape[-1] != 1:
+    if (pick_tile(edge_dst.shape[1], hidden_size) == 0
+            or edge_feat.shape[-1] != 1):
         import warnings
         warnings.warn(
             f"aggregation='fused' unsupported for edge count "
@@ -174,10 +181,15 @@ def _egnn_apply_fused(params, h, x, edge_feat, scatter_matrix, src_matrix):
     """
     from immunostruct_tpu.ops.pallas_edge import edge_program, pack_params
 
-    interpret = jax.devices()[0].platform != "tpu"
+    interpret = not _on_tpu()
     # gather [h ++ x] bundles straight into the kernel's transposed edge
     # layout; the kernel derives x_diff internally, so no diff one-hot
-    # matrix ([B,N,E] build + per-layer reads) exists on this path
+    # matrix ([B,N,E] build + per-layer reads) exists on this path.
+    # NOTE the bundle is single-dtype: coordinates are cast to h.dtype
+    # before the gather. In production both are already the compute dtype
+    # (models/trunk.py casts h AND x), so this is a no-op; a caller who
+    # wants f32 coordinates under bf16 features (which the 'onehot' path
+    # preserves through its mixed-dtype coord einsum) should use 'onehot'.
     hx = jnp.concatenate([h, x.astype(h.dtype)], axis=-1)  # [B,N,F+3]
     hsxT = jnp.einsum("bne,bnc->bce", src_matrix, hx,
                       preferred_element_type=jnp.float32).astype(h.dtype)
@@ -228,7 +240,8 @@ def egnn_apply(
     edges see inconsistent gathered values."""
     n = h.shape[1]
     if aggregation == "fused":
-        aggregation = _fused_or_fallback(edge_dst, edge_feat)
+        aggregation = _fused_or_fallback(
+            edge_dst, edge_feat, params["edge_mlp"][1]["w"].shape[1])
     if aggregation == "fused":
         if scatter_matrix is None:
             scatter_matrix = build_scatter_matrix(edge_dst, edge_mask, n,
@@ -238,6 +251,12 @@ def egnn_apply(
                                               dtype=h.dtype)
         return _egnn_apply_fused(params, h, x, edge_feat, scatter_matrix,
                                  src_matrix)
+    if (aggregation in ("onehot", "onehot_remat") and scatter_matrix is None
+            and src_matrix is None):
+        scatter_matrix = build_scatter_matrix(edge_dst, edge_mask, n,
+                                              dtype=h.dtype)
+        src_matrix = build_scatter_matrix(edge_src, edge_mask, n,
+                                          dtype=h.dtype)
     if (scatter_matrix is None) != (src_matrix is None):
         if scatter_matrix is None:
             scatter_matrix = build_scatter_matrix(edge_dst, edge_mask, n,
@@ -292,7 +311,7 @@ def egnn_apply(
         both = jnp.concatenate([m, msg_x.astype(m.dtype)], axis=-1)
         if aggregation == "pallas":
             from immunostruct_tpu.ops.pallas_segment import segment_scatter
-            interpret = jax.devices()[0].platform != "tpu"
+            interpret = not _on_tpu()
             agg = segment_scatter(edge_dst, edge_mask, both, n, interpret)
         else:
             agg = _aggregate(both, edge_dst, edge_mask, n, scatter_matrix)
@@ -325,14 +344,14 @@ def egnn_stack_apply(
     at trace time so the checkpoint/param layout is unchanged.
     """
     if aggregation == "auto":
-        platform = jax.devices()[0].platform
-        aggregation = "fused" if platform == "tpu" else "scatter"
+        aggregation = "fused" if _on_tpu() else "scatter"
     if aggregation == "pallas":
         from immunostruct_tpu.ops.pallas_segment import _pick_tile
         if _pick_tile(edge_dst.shape[1]) == 0:
             aggregation = "onehot"  # edge pad not 128-aligned: fall back
     if aggregation == "fused":
-        aggregation = _fused_or_fallback(edge_dst, edge_feat)
+        aggregation = _fused_or_fallback(
+            edge_dst, edge_feat, layers[0]["edge_mlp"][1]["w"].shape[1])
     scatter_matrix = None
     src_matrix = None
     diff_matrix = None

@@ -65,7 +65,12 @@ def pick_tile(e: int, hid: int = 64) -> int:
     Budget: ~14 live [H,T]-f32-equivalent buffers + double-buffered blocks,
     kept under ~12 MB of the ~16 MB VMEM.
     """
-    budget = 12 * 1024 * 1024 // (max(hid, 8) * 56)
+    # ~18 simultaneously-live [H,T] f32-equivalent buffers in the BACKWARD
+    # kernel (6 f32 chain tensors + activations + gradient temps + the
+    # double-buffered edge blocks): 70 bytes per H-row element keeps the
+    # worst case under ~12 MB of the ~16 MB VMEM. Ceiling validated on
+    # hardware at T=2560/H=64 (11.5 MB); T=3456 would not fit.
+    budget = 12 * 1024 * 1024 // (max(hid, 8) * 70)
     best = 0
     t = 128
     while t <= e:

@@ -134,3 +134,25 @@ def test_fused_with_scan_layers_matches():
     for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_scan)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_fused_multi_tile_weight_accumulation():
+    """E large enough that pick_tile splits edges across grid cells
+    (j > 0): weight-gradient accumulation across revisited output blocks
+    must still match the onehot reference."""
+    from immunostruct_tpu.ops.pallas_edge import pick_tile
+
+    e = 3840
+    t = pick_tile(e)
+    assert 0 < t < e, f"expected a multi-tile split for E={e}, got t={t}"
+    params, h, x, esrc, edst, efeat, emask = _toy(b=2, n=16, e=e, seed=13)
+    l_one, g_one = jax.value_and_grad(_loss)(params, h, x, esrc, edst,
+                                             efeat, emask, "onehot")
+    l_fused, g_fused = jax.value_and_grad(_loss)(params, h, x, esrc, edst,
+                                                 efeat, emask, "fused")
+    np.testing.assert_allclose(float(l_fused), float(l_one),
+                               rtol=5e-4, atol=5e-5)
+    ref_scale = max(float(jnp.max(jnp.abs(g))) for g in jax.tree.leaves(g_one))
+    for a, b in zip(jax.tree.leaves(g_one), jax.tree.leaves(g_fused)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3 * ref_scale)
