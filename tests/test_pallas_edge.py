@@ -156,3 +156,51 @@ def test_fused_multi_tile_weight_accumulation():
     for a, b in zip(jax.tree.leaves(g_one), jax.tree.leaves(g_fused)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-3 * ref_scale)
+
+
+def test_fused_full_zoo_matches_scatter():
+    """Every registry model's forward agrees between the fused Pallas path
+    (the TPU default) and the scatter reference — including SSL and
+    comparative variants — at one tiny batch per model."""
+    from immunostruct_tpu.models.zoo import model_map, build_model
+    from immunostruct_tpu.models.trunk import (
+        model_apply, model_apply_comparative,
+    )
+    from immunostruct_tpu.structs import GraphBatch
+
+    rng = np.random.default_rng(21)
+    b, n, e, seq_len = 2, 16, 128, 24
+    onehot = np.zeros((b, n, 20), np.float32)
+    for i in range(b):
+        onehot[i, np.arange(n), rng.integers(0, 20, n)] = 1.0
+    graph = GraphBatch(
+        node_feat=jnp.asarray(onehot),
+        coords=jnp.asarray(rng.standard_normal((b, n, 3)).astype(np.float32)),
+        edge_src=jnp.asarray(rng.integers(0, n, (b, e)).astype(np.int32)),
+        edge_dst=jnp.asarray(rng.integers(0, n, (b, e)).astype(np.int32)),
+        edge_feat=jnp.ones((b, e, 1), jnp.float32),
+        edge_mask=jnp.asarray(rng.random((b, e)) > 0.2),
+        node_mask=jnp.ones((b, n), bool),
+        num_nodes=jnp.full((b,), n, jnp.int32))
+    seq = jnp.asarray(rng.random((b, seq_len, 21)).astype(np.float32))
+    props = jnp.asarray(rng.random((b, 2)).astype(np.float32))
+    key = jax.random.key(3)
+
+    for name in model_map:
+        spec, params = build_model(name, seq_len * 21, jax.random.key(7))
+        outs = {}
+        for agg in ("fused", "scatter"):
+            if spec.comparative:
+                out_c, _, logits = model_apply_comparative(
+                    params, spec, (graph, graph), (seq, seq), (props, props),
+                    key, deterministic=True, aggregation=agg)
+                outs[agg] = np.asarray(logits)
+            else:
+                out = model_apply(params, spec, graph, seq, props, key,
+                                  deterministic=True, aggregation=agg)
+                outs[agg] = np.asarray(out.logits)
+        assert np.isfinite(outs["fused"]).all(), name
+        np.testing.assert_allclose(
+            outs["fused"], outs["scatter"], rtol=5e-4,
+            atol=5e-4 * max(1.0, np.abs(outs["scatter"]).max()),
+            err_msg=f"fused/scatter mismatch for {name}")
