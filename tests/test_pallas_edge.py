@@ -113,9 +113,10 @@ def test_pick_tile():
 
 
 def test_fused_falls_back_on_unsupported_shapes():
-    # edge count not a 128 multiple -> stack silently uses onehot
+    # edge count not a 128 multiple -> stack warns and uses onehot
     params, h, x, esrc, edst, efeat, emask = _toy(e=100)
-    l = _loss(params, h, x, esrc, edst, efeat, emask, "fused")
+    with pytest.warns(UserWarning, match="falling back to 'onehot'"):
+        l = _loss(params, h, x, esrc, edst, efeat, emask, "fused")
     l_ref = _loss(params, h, x, esrc, edst, efeat, emask, "onehot")
     np.testing.assert_allclose(float(l), float(l_ref), rtol=1e-6)
 
