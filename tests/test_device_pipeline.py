@@ -154,3 +154,21 @@ def test_device_corpus_shared_across_pipelines(setup):
     # binary flip swaps only the target vector; big fields stay shared
     assert c.corpus.node_onehot is a.corpus.node_onehot
     assert c.corpus.target is not a.corpus.target
+
+
+def test_estimate_device_bytes_comparative(tmp_path):
+    """The auto-gate estimator covers paired (cancer/WT) datasets."""
+    from immunostruct_tpu.config import Config
+    from immunostruct_tpu.data import (
+        synthetic_comparative_corpus, ComparativeDataset,
+    )
+    from immunostruct_tpu.data.device_pipeline import estimate_device_bytes
+
+    cfg = Config(batch_size=4, pad_nodes_multiple=4, pad_edges_multiple=16,
+                 compute_dtype="float32", aggregation="scatter")
+    paths = synthetic_comparative_corpus(str(tmp_path), num_samples=8, seed=9)
+    ds = ComparativeDataset.load(cfg, *paths)
+    total = estimate_device_bytes(ds)
+    assert total > 0
+    assert total == (estimate_device_bytes(ds.cancer)
+                     + estimate_device_bytes(ds.wt))

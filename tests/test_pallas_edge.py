@@ -205,3 +205,18 @@ def test_fused_full_zoo_matches_scatter():
             outs["fused"], outs["scatter"], rtol=5e-4,
             atol=5e-4 * max(1.0, np.abs(outs["scatter"]).max()),
             err_msg=f"fused/scatter mismatch for {name}")
+
+
+def test_direct_egnn_apply_onehot_builds_matrices():
+    """egnn_apply(aggregation='onehot') without precomputed matrices must
+    take the one-hot matmul path (building BOTH matrices itself), not the
+    serialized scatter path — and match scatter numerically."""
+    params, h, x, esrc, edst, efeat, emask = _toy(seed=17)
+    layer = params[0]
+    out_oh = eg.egnn_apply(layer, h, x, esrc, edst, efeat, emask,
+                           aggregation="onehot")
+    out_sc = eg.egnn_apply(layer, h, x, esrc, edst, efeat, emask,
+                           aggregation="scatter")
+    for a, b in zip(out_oh, out_sc):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
