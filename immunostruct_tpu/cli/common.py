@@ -50,7 +50,12 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "run on device). Default: auto — on when training "
                         "on a TPU without --data-parallel and the corpus "
                         "fits comfortably in HBM. --no-device-data forces "
-                        "the host pipeline")
+                        "the host pipeline. Note: auto keeps the host "
+                        "pipeline's partial trailing train batch, while an "
+                        "explicit --device-data keeps the device pipeline's "
+                        "documented default of padding it with duplicated "
+                        "rows — flipping auto to explicit changes trailing-"
+                        "batch numerics")
     p.add_argument("--grad-accum-steps", default=1, type=int,
                    help="scanned microbatches per optimizer step (batch-size "
                         "must be divisible; keeps per-chunk working sets at "
@@ -100,7 +105,10 @@ def pick_pipeline(config, comparative: bool, ssl: bool):
     if dd is True:
         return dev_factory
 
-    # auto: decide per-dataset at construction time
+    # auto: decide per-dataset at construction time, with GLOBAL accounting
+    # of admitted bytes — the flagship holds several corpora at once (IEDB
+    # + both comparative halves + clinical), and per-dataset budgets alone
+    # could admit a combined footprint past single-chip HBM
     def auto_factory(dataset, indices, **kw):
         import jax
 
@@ -108,13 +116,20 @@ def pick_pipeline(config, comparative: bool, ssl: bool):
                 or getattr(config, "data_parallel", False)
                 or jax.process_count() > 1):
             return host_cls(dataset, indices, **kw)
-        # leave headroom for params/activations/compiler scratch AND for
-        # sibling datasets (the Cancer flagship holds IEDB + comparative +
-        # clinical corpora at once; uploads are shared per dataset via
-        # build_device_corpus's cache, so this budget is per dataset)
-        from immunostruct_tpu.data.device_pipeline import estimate_device_bytes
-        budget = int(2.5 * (1 << 30))
-        if estimate_device_bytes(dataset, full=kw.get("full", True)) > budget:
+        # leave headroom for params/activations/compiler scratch; admitted
+        # corpora are tracked process-wide against a total budget (uploads
+        # are shared per dataset via build_device_corpus's cache, so each
+        # live dataset counts once)
+        from immunostruct_tpu.data.device_pipeline import (
+            estimate_device_bytes, admitted_device_bytes, note_admitted)
+        per_ds_budget = int(2.5 * (1 << 30))
+        total_budget = int(8 * (1 << 30))
+        need = estimate_device_bytes(dataset, full=kw.get("full", True))
+        if need > per_ds_budget or admitted_device_bytes() + need > total_budget:
+            print("device-data auto: corpus "
+                  f"({need / (1 << 30):.2f} GiB, "
+                  f"{admitted_device_bytes() / (1 << 30):.2f} GiB already "
+                  "admitted) exceeds the HBM budget; using the host pipeline")
             return host_cls(dataset, indices, **kw)
         # reference-parity batching when auto-selected: the device
         # pipeline's own default pads the trailing partial TRAIN batch
@@ -124,12 +139,16 @@ def pick_pipeline(config, comparative: bool, ssl: bool):
         # padding default.
         kw.setdefault("pad_final_batch", False)
         try:
-            return dev_factory(dataset, indices, **kw)
-        except (ValueError, AssertionError):
-            # configurations the device pipeline declines fall back loudly
+            pipe = dev_factory(dataset, indices, **kw)
+        except (ValueError, AssertionError) as e:
+            # configurations the device pipeline declines fall back loudly,
+            # with the reason — a silent fallback would disguise genuine
+            # construction bugs as a quiet perf regression
             print("device-data auto: falling back to the host pipeline "
-                  "for this configuration")
+                  f"for this configuration ({type(e).__name__}: {e})")
             return host_cls(dataset, indices, **kw)
+        note_admitted(dataset, need)
+        return pipe
 
     return auto_factory
 

@@ -74,9 +74,35 @@ def _corpus_cache_for(ds) -> dict:
         del _CORPUS_CACHE[k]
     entry = _CORPUS_CACHE.get(id(ds))
     if entry is None or entry[0]() is not ds:
-        entry = (weakref.ref(ds), {})
-        _CORPUS_CACHE[id(ds)] = entry
+        key = id(ds)
+        # eager eviction: drop the entry (and its HBM buffers) the moment
+        # the dataset is collected, instead of waiting for the next
+        # pipeline construction to sweep it — without this, a multi-GB
+        # corpus whose dataset died would stay device-resident for the
+        # process lifetime if no further pipelines were ever built
+        entry = (weakref.ref(ds, lambda _ref, _k=key: _CORPUS_CACHE.pop(_k, None)),
+                 {})
+        _CORPUS_CACHE[key] = entry
     return entry[1]
+
+
+# process-wide ledger of corpora admitted by the CLI's device-data "auto"
+# heuristic: id(ds) -> (weakref, bytes). Entries vanish with their datasets
+# (same lifetime discipline as _CORPUS_CACHE) so the global budget tracks
+# only corpora that can still be device-resident.
+_ADMITTED: dict = {}
+
+
+def note_admitted(ds, nbytes: int) -> None:
+    """Record that auto admitted ``nbytes`` of device corpus for ``ds``."""
+    key = id(ds)
+    _ADMITTED[key] = (
+        weakref.ref(ds, lambda _ref, _k=key: _ADMITTED.pop(_k, None)), nbytes)
+
+
+def admitted_device_bytes() -> int:
+    """Total bytes auto has admitted for datasets that are still alive."""
+    return sum(n for ref, n in _ADMITTED.values() if ref() is not None)
 
 
 def estimate_device_bytes(ds, *, full: bool = True) -> int:

@@ -62,8 +62,8 @@ def pick_tile(e: int, hid: int = 64) -> int:
 
     Bigger tiles measured faster (fewer grid cells -> better DMA/compute
     amortization: 11.8 vs 12.4 ms/step at bench shapes for T=2560 vs 1280).
-    Budget: ~14 live [H,T]-f32-equivalent buffers + double-buffered blocks,
-    kept under ~12 MB of the ~16 MB VMEM.
+    Budget: ~18 live [H,T]-f32-equivalent buffers at ~70 bytes per H-row
+    element (see the accounting below), kept under ~12 MB of VMEM.
     """
     # ~18 simultaneously-live [H,T] f32-equivalent buffers in the BACKWARD
     # kernel (6 f32 chain tensors + activations + gradient temps + the

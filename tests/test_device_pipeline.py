@@ -172,3 +172,41 @@ def test_estimate_device_bytes_comparative(tmp_path):
     assert total > 0
     assert total == (estimate_device_bytes(ds.cancer)
                      + estimate_device_bytes(ds.wt))
+
+
+def test_admitted_bytes_ledger(setup):
+    """The auto heuristic's global HBM ledger counts live datasets only
+    and releases bytes when the dataset is collected (ADVICE r2)."""
+    import copy
+    import gc
+    from immunostruct_tpu.data.device_pipeline import (
+        admitted_device_bytes, note_admitted)
+
+    cfg, ds = setup
+    base = admitted_device_bytes()
+    ghost = copy.copy(ds)
+    note_admitted(ghost, 123)
+    note_admitted(ghost, 456)          # re-noting replaces, not adds
+    assert admitted_device_bytes() == base + 456
+    del ghost
+    gc.collect()
+    assert admitted_device_bytes() == base
+
+
+def test_corpus_cache_evicts_on_dataset_death(setup):
+    """A dead dataset's corpus cache entry is dropped eagerly via the
+    weakref callback, not only on the next cache access (ADVICE r2)."""
+    import copy
+    import gc
+    import numpy as np
+    from immunostruct_tpu.data import device_pipeline as dp
+
+    cfg, ds = setup
+    ghost = copy.copy(ds)
+    dp.DevicePipeline(ghost, np.arange(8), split="train", binary=True,
+                      full=True, config=cfg)
+    key = id(ghost)
+    assert key in dp._CORPUS_CACHE
+    del ghost
+    gc.collect()
+    assert key not in dp._CORPUS_CACHE
