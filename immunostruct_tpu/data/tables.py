@@ -68,11 +68,16 @@ def dedup_property_df(df: pd.DataFrame) -> pd.DataFrame:
     if (imm_per_group > 1).any():
         raise ValueError("same (mut_pep, wt_pep, allele) with different immunogenicity")
 
-    # sort by foreignness, then keep 'last' (max) for immunogenic groups and
-    # 'first' (min) for the rest; stable sorts preserve original tie order
-    ordered = df.sort_values(foreign_key, kind="stable")
-    imm = ordered[ordered["immunogenicity"] == 1].drop_duplicates(group_cols, keep="last")
-    non = ordered[ordered["immunogenicity"] != 1].drop_duplicates(group_cols, keep="first")
+    # tie semantics match the reference's argmax/argmin (preprocess.py:121-124):
+    # both keep the FIRST-occurring extreme row, so sort stably toward the
+    # extreme and keep 'first' (descending for immunogenic max, ascending
+    # for non-immunogenic min) — verified against the executed reference on
+    # the real cedar table (tests/test_reference_executed.py)
+    imm_rows = df["immunogenicity"] == 1
+    imm = (df[imm_rows].sort_values(foreign_key, kind="stable", ascending=False)
+           .drop_duplicates(group_cols, keep="first"))
+    non = (df[~imm_rows].sort_values(foreign_key, kind="stable")
+           .drop_duplicates(group_cols, keep="first"))
     return pd.concat([imm, non]).sort_index()
 
 

@@ -167,11 +167,15 @@ def evaluate_metrics(true_targets: np.ndarray, predicted_probs: np.ndarray,
         "precision_op": precision_score(y, at_op),
         "recall": recall_score(y, at_05),
         "recall_op": recall_score(y, at_op),
-        # quirk parity: PPVn over binarized predictions (metric.py:76-79)
-        "ppvn": mean_ppvn(y, at_05.astype(float)),
-        "ppvn_op": mean_ppvn(y, at_op.astype(float)),
-        "ppv30": mean_ppvn(y, at_05.astype(float), topk=30),
-        "ppv30_op": mean_ppvn(y, at_op.astype(float), topk=30),
+        # quirk parity: PPVn over binarized predictions (metric.py:76-79),
+        # passed as the raw BOOLEAN array exactly like the reference —
+        # np.argsort's unstable sort permutes ties differently per dtype,
+        # so casting to float changes the PPVn tie order (caught by the
+        # executed-reference harness, tests/test_reference_executed.py)
+        "ppvn": mean_ppvn(y, at_05),
+        "ppvn_op": mean_ppvn(y, at_op),
+        "ppv30": mean_ppvn(y, at_05, topk=30),
+        "ppv30_op": mean_ppvn(y, at_op, topk=30),
     }
     if verbose:
         for k, v in out.items():
