@@ -36,6 +36,15 @@ vs_baseline: the reference publishes no throughput numbers
 of the reference stack's single-GPU training throughput at the same shapes
 (DGL EGNNConv x6 + torch, batch 128): ~2000 pMHC/s. The BASELINE.json
 north star asks for >= 10x, i.e. vs_baseline >= 10.
+
+Since round 3 the point estimate is anchored by a measured interval
+(scripts/bench_torch_baseline.py, results in benchmarks/torch_baseline.json):
+a MEASURED torch-CPU step of the re-derived reference model (the
+reference's own CPU fallback — an absolute floor) and a computed A100
+f32-FLOPs + DGL-edge-intermediate HBM roofline with zero overheads (an
+absolute ceiling, ~8.1k pMHC/s). The 2000/s point sits inside; the JSON
+reports vs_baseline against the point AND the guaranteed lower bound
+against the ceiling (vs_baseline_vs_roofline_ceiling).
 """
 
 from __future__ import annotations
@@ -46,7 +55,28 @@ import time
 
 import numpy as np
 
-ASSUMED_REFERENCE_SAMPLES_PER_SEC = 2000.0
+ASSUMED_REFERENCE_SAMPLES_PER_SEC = 2000.0  # point est; see baseline_interval
+
+
+def baseline_interval(samples_per_sec: float) -> dict:
+    """Anchor keys from benchmarks/torch_baseline.json (see module
+    docstring). Absent file -> derivation keys only."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.realpath(__file__)),
+                        "benchmarks", "torch_baseline.json")
+    out = {"baseline_point_est": ASSUMED_REFERENCE_SAMPLES_PER_SEC}
+    try:
+        with open(path) as f:
+            anchor = json.load(f)
+    except OSError:
+        return out
+    out["baseline_bound_low_cpu_measured"] = anchor["reference_bound_low"]
+    out["baseline_bound_high_a100_roofline"] = anchor["reference_bound_high"]
+    out["vs_baseline_vs_roofline_ceiling"] = round(
+        samples_per_sec / anchor["reference_bound_high"], 3)
+    out["baseline_derivation"] = anchor["derivation"]
+    return out
 
 BATCH = 128
 NODES = 288
@@ -272,6 +302,7 @@ def main():
         "n_params": n_params,
         "device": getattr(device, "device_kind", platform),
     }
+    out.update(baseline_interval(samples_per_sec))
     print(json.dumps(out))
 
 
