@@ -86,7 +86,10 @@ class Config:
     # training single-chip on TPU and the corpus fits; cli/common.py)
     device_data: object = None
     grad_accum_steps: int = 1        # scanned microbatches per optimizer step
-    scan_layers: bool = False        # lax.scan over the identical EGNN convs
+    # lax.scan over the identical EGNN convs: True/False force, None = auto
+    # (on for short TPU runs where the ~100 s unrolled-compile delta would
+    # dominate wall-clock; procedures/train.py::resolve_scan_layers)
+    scan_layers: object = None
     # explicit opt-in: contrastive statistics per microbatch under grad accum
     allow_microbatch_contrastive: bool = False
 

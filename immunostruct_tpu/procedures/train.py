@@ -287,6 +287,30 @@ class Trainer:
 # Functional wrappers mirroring the reference's procedure names
 # --------------------------------------------------------------------------
 
+# measured on the remote-compile tunnel (benchmarks/RESULTS.md): unrolled
+# compile ~116 s vs ~15 s scanned (the Pallas kernel pair compiles once
+# inside the scan body), at +16% step time. Breakeven: ~100 s / (0.16 *
+# ~11 ms) ~= 55k steps; auto uses a conservative fraction of that so the
+# throughput default is kept for genuine soaks.
+SCAN_LAYERS_AUTO_MAX_STEPS = 20_000
+
+
+def resolve_scan_layers(config, spec: ModelSpec, steps_per_epoch: int) -> bool:
+    """Tri-state --scan-layers: True/False force; None = auto (VERDICT r2
+    item 8). Auto turns the scan on for short TPU runs with an EGNN stack,
+    where the unrolled first-compile (~100 s longer through the
+    remote-compile tunnel) would dominate wall-clock."""
+    sl = getattr(config, "scan_layers", None)
+    if sl is not None:
+        return bool(sl)
+    if not spec.use_structure or spec.gcn_layers < 2:
+        return False
+    if jax.devices()[0].platform != "tpu":
+        return False  # CPU/GPU compiles are fast; keep the simpler HLO
+    total_steps = int(getattr(config, "num_epochs", 0)) * max(steps_per_epoch, 1)
+    return total_steps < SCAN_LAYERS_AUTO_MAX_STEPS
+
+
 def train_model(config, spec: ModelSpec, params: dict, train_pipe, val_pipe,
                 loss_cfg: LossConfig, *, binary: bool, learning_rate: float,
                 weight_decay: float = 0.0, optimizer_name: str = "adam",
@@ -316,7 +340,7 @@ def train_model(config, spec: ModelSpec, params: dict, train_pipe, val_pipe,
             aggregation=config.aggregation,
             compute_dtype=jnp.dtype(config.compute_dtype),
             grad_accum_steps=accum,
-            scan_layers=getattr(config, "scan_layers", False),
+            scan_layers=resolve_scan_layers(config, spec, len(train_pipe)),
             allow_microbatch_contrastive=getattr(
                 config, "allow_microbatch_contrastive", False))
     else:
@@ -325,7 +349,8 @@ def train_model(config, spec: ModelSpec, params: dict, train_pipe, val_pipe,
                           aggregation=config.aggregation,
                           compute_dtype=jnp.dtype(config.compute_dtype),
                           grad_accum_steps=accum,
-                          scan_layers=getattr(config, "scan_layers", False),
+                          scan_layers=resolve_scan_layers(config, spec,
+                                                          len(train_pipe)),
                           allow_microbatch_contrastive=getattr(
                               config, "allow_microbatch_contrastive", False))
     state = trainer.init_state(params, rng)

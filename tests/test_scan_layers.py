@@ -65,3 +65,37 @@ def test_scan_grads_match(rng):
     for a, b_ in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_resolve_scan_layers_auto(monkeypatch):
+    """Tri-state --scan-layers (VERDICT r2 item 8): explicit values force;
+    auto turns the scan on only for short TPU runs with an EGNN stack."""
+    import types
+    import jax
+    from immunostruct_tpu.config import Config
+    from immunostruct_tpu.models.trunk import ModelSpec
+    from immunostruct_tpu.procedures.train import (
+        resolve_scan_layers, SCAN_LAYERS_AUTO_MAX_STEPS)
+
+    hybrid = ModelSpec()
+    seq_only = ModelSpec(name="SequenceModel", use_structure=False)
+
+    cfg = Config(num_epochs=40)
+    # explicit forcing wins regardless of platform/steps
+    cfg.scan_layers = True
+    assert resolve_scan_layers(cfg, hybrid, 10) is True
+    cfg.scan_layers = False
+    assert resolve_scan_layers(cfg, hybrid, 10) is False
+
+    # auto on CPU (the test platform): always unrolled
+    cfg.scan_layers = None
+    assert resolve_scan_layers(cfg, hybrid, 10) is False
+
+    # auto on (faked) TPU: on for short runs, off for soaks and for
+    # models without an EGNN stack
+    fake_dev = types.SimpleNamespace(platform="tpu")
+    monkeypatch.setattr(jax, "devices", lambda *a, **k: [fake_dev])
+    assert resolve_scan_layers(cfg, hybrid, 10) is True
+    assert resolve_scan_layers(
+        cfg, hybrid, SCAN_LAYERS_AUTO_MAX_STEPS // 40 + 1) is False
+    assert resolve_scan_layers(cfg, seq_only, 10) is False
