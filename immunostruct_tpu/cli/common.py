@@ -30,15 +30,16 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     # TPU-native knobs (new)
     p.add_argument("--compute-dtype", default="bfloat16", type=str)
     p.add_argument("--aggregation", default="auto",
-                   choices=["auto", "fused", "onehot", "onehot_remat", "scatter",
-                            "pallas"],
-                   help="EGNN message aggregation: 'fused' (one-hot einsum "
-                        "gathers + the Pallas edge-program kernel; the "
-                        "fastest path and the TPU default), 'onehot' "
-                        "(pure-XLA one-hot matmuls), 'onehot_remat' (less "
-                        "temp HBM), 'scatter' (CPU default), 'pallas' "
-                        "(superseded per-op kernels), 'auto' picks 'fused' "
-                        "on TPU / 'scatter' elsewhere")
+                   choices=["auto", "mega", "fused", "onehot", "onehot_remat",
+                            "scatter", "pallas"],
+                   help="EGNN message aggregation: 'mega' (whole layer in "
+                        "one Pallas kernel from raw edge indices — no "
+                        "edge-space HBM tensors), 'fused' (one-hot einsum "
+                        "gathers + the Pallas edge-program kernel), "
+                        "'onehot' (pure-XLA one-hot matmuls), 'onehot_remat' "
+                        "(less temp HBM), 'scatter' (CPU default), 'pallas' "
+                        "(superseded per-op kernels), 'auto' picks the "
+                        "fastest measured TPU path / 'scatter' elsewhere")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard batches over all local devices")
     p.add_argument("--resume", action="store_true",
@@ -69,6 +70,12 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "(num_epochs x steps/epoch below ~20k) where the "
                         "unrolled compile would dominate wall-clock; "
                         "--no-scan-layers forces unrolled for soaks")
+    p.add_argument("--stack-twins", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="run the comparative cancer/WT twin forwards as ONE "
+                        "2B-stacked pass (shared weights make the math "
+                        "identical; only the train-mode eps/dropout RNG "
+                        "stream differs). Default: auto — on for TPU")
     p.add_argument("--allow-microbatch-contrastive", action="store_true",
                    help="opt into per-microbatch contrastive statistics when "
                         "combining --coeff-contrastive with "

@@ -90,6 +90,9 @@ class Config:
     # (on for short TPU runs where the ~100 s unrolled-compile delta would
     # dominate wall-clock; procedures/train.py::resolve_scan_layers)
     scan_layers: object = None
+    # comparative twin passes stacked into one 2B forward: True/False force,
+    # None = auto (on for TPU; models/trunk.py::model_apply_comparative)
+    stack_twins: object = None
     # explicit opt-in: contrastive statistics per microbatch under grad accum
     allow_microbatch_contrastive: bool = False
 

@@ -319,7 +319,7 @@ def model_apply_comparative(
     graph_pair, seq_pair, props_pair,
     rng: jax.Array, deterministic: bool = False,
     aggregation: str = "auto", compute_dtype=jnp.float32,
-    scan_layers: bool = False,
+    scan_layers: bool = False, stack_twins: bool = False,
 ):
     """Twin forward over (cancer, wt) with shared weights.
 
@@ -327,14 +327,41 @@ def model_apply_comparative(
     computed from the concatenated pair embedding when use_wt_for_downstream
     (comparative_models.py:117-146); both per-item outputs carry their own
     recon/mu/logvar for the averaged twin loss (procedures/train.py:107-114).
+
+    stack_twins: run ONE forward_item over the cancer/wt halves stacked on
+    the batch axis (shared weights make the math identical) instead of two
+    B-sized passes — one EGNN/attention/VAE dispatch at 2B with better MXU
+    utilization and half the fixed per-pass overheads. All noise-free
+    computation is exactly the two-pass values (verified to roundoff with
+    the VAE noise pinned, tests/test_models.py); only the eps/dropout
+    DRAWS differ (one 2B-key draw vs two B-key draws) — same distribution,
+    different stream, matching the reference's use of the global torch RNG
+    across its twin passes. (Note the VAE eps is sampled even under
+    deterministic=True, mirroring the reference's eval-time randn_like.)
     """
-    k_c, k_w, k_cls = jax.random.split(rng, 3)
-    emb_c, recon_c, mu_c, logvar_c, attn_c = forward_item(
-        params, spec, graph_pair[0], seq_pair[0], props_pair[0], k_c,
-        deterministic, aggregation, compute_dtype, scan_layers)
-    emb_w, recon_w, mu_w, logvar_w, attn_w = forward_item(
-        params, spec, graph_pair[1], seq_pair[1], props_pair[1], k_w,
-        deterministic, aggregation, compute_dtype, scan_layers)
+    if stack_twins:
+        k_item, k_cls = jax.random.split(rng)
+        b = seq_pair[0].shape[0] if seq_pair[0] is not None \
+            else graph_pair[0].node_feat.shape[0]
+        cat = lambda p: None if p[0] is None else jax.tree.map(
+            lambda a, w: jnp.concatenate([a, w], axis=0), p[0], p[1])
+        emb, recon, mu, logvar, attn = forward_item(
+            params, spec, cat(graph_pair), cat(seq_pair), cat(props_pair),
+            k_item, deterministic, aggregation, compute_dtype, scan_layers)
+        halves = lambda t: (None, None) if t is None else (t[:b], t[b:])
+        emb_c, emb_w = halves(emb)
+        recon_c, recon_w = halves(recon)
+        mu_c, mu_w = halves(mu)
+        logvar_c, logvar_w = halves(logvar)
+        attn_c, attn_w = halves(attn)
+    else:
+        k_c, k_w, k_cls = jax.random.split(rng, 3)
+        emb_c, recon_c, mu_c, logvar_c, attn_c = forward_item(
+            params, spec, graph_pair[0], seq_pair[0], props_pair[0], k_c,
+            deterministic, aggregation, compute_dtype, scan_layers)
+        emb_w, recon_w, mu_w, logvar_w, attn_w = forward_item(
+            params, spec, graph_pair[1], seq_pair[1], props_pair[1], k_w,
+            deterministic, aggregation, compute_dtype, scan_layers)
 
     if spec.use_wt_for_downstream:
         combined = jnp.concatenate([emb_c, emb_w], axis=-1)

@@ -153,6 +153,22 @@ def _fused_or_fallback(edge_dst: jax.Array, edge_feat: jax.Array,
     return "fused"
 
 
+def _mega_or_fallback(edge_dst: jax.Array, edge_feat: jax.Array,
+                      num_nodes: int, hidden_size: int = 64) -> str:
+    """'mega' when the mega kernel supports these shapes, else the 'fused'
+    check's result (which itself may fall back to 'onehot')."""
+    from immunostruct_tpu.ops.pallas_mega import mega_pick_tile
+    if (mega_pick_tile(edge_dst.shape[1], num_nodes, hidden_size) == 0
+            or edge_feat.shape[-1] != 1):
+        import warnings
+        warnings.warn(
+            f"aggregation='mega' unsupported for edge count "
+            f"{edge_dst.shape[1]} / {num_nodes} nodes / edge_feat size "
+            f"{edge_feat.shape[-1]}; falling back to 'fused'", stacklevel=3)
+        return _fused_or_fallback(edge_dst, edge_feat, hidden_size)
+    return "mega"
+
+
 def _gather(x: jax.Array, idx: jax.Array,
             onehot: Optional[jax.Array] = None) -> jax.Array:
     """x: [B, N, C], idx: [B, E] -> [B, E, C].
@@ -207,6 +223,25 @@ def _egnn_apply_fused(params, h, x, edge_feat, scatter_matrix, src_matrix):
     return _node_update(params, h, x, h_agg, x_agg)
 
 
+def _egnn_apply_mega(params, h, x, edge_src, edge_dst, edge_feat, edge_mask):
+    """One EGNN layer entirely inside the mega kernel (ops/pallas_mega.py):
+    one-hot tiles built in VMEM from the raw indices, gathers, edge/coord
+    MLP chain and dst-aggregation in one Pallas program — no [B,C,E]
+    edge-space tensor and no [B,N,E] one-hot matrix ever reach HBM."""
+    from immunostruct_tpu.ops.pallas_edge import pack_params
+    from immunostruct_tpu.ops.pallas_mega import edge_mega
+
+    interpret = not _on_tpu()
+    hx = jnp.concatenate([h, x.astype(h.dtype)], axis=-1)   # [B,N,F+3]
+    w1ab, w2, wc1, small = pack_params(params["edge_mlp"],
+                                       params["coord_mlp"])
+    agg = edge_mega(edge_src, edge_dst, edge_mask, edge_feat, hx,
+                    w1ab, w2, wc1, small, interpret).astype(h.dtype)
+    c = agg.shape[-1] - 3
+    h_agg, x_agg = agg[..., :c], agg[..., c:].astype(x.dtype)
+    return _node_update(params, h, x, h_agg, x_agg)
+
+
 def _node_update(params, h, x, h_agg, x_agg):
     """Shared layer epilogue: h' = node_mlp([h ++ agg]); x' = x + x_agg."""
     hn = jnp.concatenate([h, h_agg], axis=-1)
@@ -239,6 +274,12 @@ def egnn_apply(
     builds the other here — a mixed einsum/take regime would let masked
     edges see inconsistent gathered values."""
     n = h.shape[1]
+    if aggregation == "mega":
+        aggregation = _mega_or_fallback(
+            edge_dst, edge_feat, n, params["edge_mlp"][1]["w"].shape[1])
+    if aggregation == "mega":
+        return _egnn_apply_mega(params, h, x, edge_src, edge_dst, edge_feat,
+                                edge_mask)
     if aggregation == "fused":
         aggregation = _fused_or_fallback(
             edge_dst, edge_feat, params["edge_mlp"][1]["w"].shape[1])
@@ -349,6 +390,10 @@ def egnn_stack_apply(
         from immunostruct_tpu.ops.pallas_segment import _pick_tile
         if _pick_tile(edge_dst.shape[1]) == 0:
             aggregation = "onehot"  # edge pad not 128-aligned: fall back
+    if aggregation == "mega":
+        aggregation = _mega_or_fallback(
+            edge_dst, edge_feat, h.shape[1],
+            layers[0]["edge_mlp"][1]["w"].shape[1])
     if aggregation == "fused":
         aggregation = _fused_or_fallback(
             edge_dst, edge_feat, layers[0]["edge_mlp"][1]["w"].shape[1])

@@ -83,6 +83,7 @@ class Trainer:
                  aggregation: str = "auto", compute_dtype=jnp.float32,
                  donate: bool = True, mesh=None, shard_batch=None,
                  grad_accum_steps: int = 1, scan_layers: bool = False,
+                 stack_twins: bool = False,
                  allow_microbatch_contrastive: bool = False):
         if (coeff_contrastive > 0 and grad_accum_steps > 1
                 and not allow_microbatch_contrastive):
@@ -119,6 +120,9 @@ class Trainer:
         # microbatch, not the global batch.
         self.grad_accum_steps = grad_accum_steps
         self.scan_layers = scan_layers
+        # one 2B-stacked forward_item instead of two B-sized twin passes
+        # (models/trunk.py::model_apply_comparative docstring)
+        self.stack_twins = stack_twins
 
         donate_args = (0,) if donate else ()
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=donate_args)
@@ -143,7 +147,8 @@ class Trainer:
                 params, self.spec, (c.graph, w.graph),
                 (c.seq_onehot, w.seq_onehot), (c.props, w.props), rng,
                 deterministic=deterministic, aggregation=self.aggregation,
-                compute_dtype=self.compute_dtype, scan_layers=self.scan_layers)
+                compute_dtype=self.compute_dtype, scan_layers=self.scan_layers,
+                stack_twins=self.stack_twins)
             loss_c = self.loss_fn(out_c.recon, c.seq_onehot, out_c.mu, out_c.logvar,
                                   logits, c.target,
                                   node_logits=out_c.node_logits, residue=c.aux_residue)
@@ -311,6 +316,16 @@ def resolve_scan_layers(config, spec: ModelSpec, steps_per_epoch: int) -> bool:
     return total_steps < SCAN_LAYERS_AUTO_MAX_STEPS
 
 
+def resolve_stack_twins(config) -> bool:
+    """Tri-state --stack-twins: True/False force; None = auto (on for TPU,
+    where the 2B-stacked comparative forward measured faster than two
+    B-sized twin passes — benchmarks/RESULTS.md round 3)."""
+    st = getattr(config, "stack_twins", None)
+    if st is not None:
+        return bool(st)
+    return jax.devices()[0].platform == "tpu"
+
+
 def train_model(config, spec: ModelSpec, params: dict, train_pipe, val_pipe,
                 loss_cfg: LossConfig, *, binary: bool, learning_rate: float,
                 weight_decay: float = 0.0, optimizer_name: str = "adam",
@@ -341,6 +356,7 @@ def train_model(config, spec: ModelSpec, params: dict, train_pipe, val_pipe,
             compute_dtype=jnp.dtype(config.compute_dtype),
             grad_accum_steps=accum,
             scan_layers=resolve_scan_layers(config, spec, len(train_pipe)),
+            stack_twins=resolve_stack_twins(config),
             allow_microbatch_contrastive=getattr(
                 config, "allow_microbatch_contrastive", False))
     else:
@@ -351,6 +367,7 @@ def train_model(config, spec: ModelSpec, params: dict, train_pipe, val_pipe,
                           grad_accum_steps=accum,
                           scan_layers=resolve_scan_layers(config, spec,
                                                           len(train_pipe)),
+                          stack_twins=resolve_stack_twins(config),
                           allow_microbatch_contrastive=getattr(
                               config, "allow_microbatch_contrastive", False))
     state = trainer.init_state(params, rng)

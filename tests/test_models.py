@@ -151,3 +151,60 @@ def test_jit_compiles(batch):
 
     logits = fwd(params, graph, seq, props, jax.random.key(1))
     assert logits.shape == (B, 1)
+
+
+@pytest.mark.parametrize(
+    "name", [n for n in sorted(model_map) if model_map[n].comparative])
+def test_stack_twins_matches_twin_passes(name, batch):
+    """stack_twins=True (one 2B forward) equals the two-pass path exactly
+    once the only noise source is pinned: the VAE eps is sampled even under
+    deterministic=True (mirroring the reference's eval-time randn_like), so
+    logvar is forced to -80 (std ~= 0, z = mu) to make the comparison
+    noise-free (model_apply_comparative docstring)."""
+    graph, seq, props = batch
+    rng = np.random.default_rng(3)
+    graph2 = tiny_graph_batch(rng)
+    seq2 = jnp.asarray(rng.random((B, L, 21)).astype(np.float32))
+    props2 = jnp.asarray(rng.random((B, 2)).astype(np.float32))
+
+    spec, params = build_model(name, VAE_DIM, jax.random.key(0))
+    if spec.use_sequence:  # pin the VAE noise: logvar == -80 everywhere
+        params["vae"]["fc22"]["w"] = jnp.zeros_like(
+            params["vae"]["fc22"]["w"])
+        params["vae"]["fc22"]["b"] = jnp.full_like(
+            params["vae"]["fc22"]["b"], -80.0)
+    kw = dict(deterministic=True, aggregation="scatter")
+    out_c, out_w, logits = model_apply_comparative(
+        params, spec, (graph, graph2), (seq, seq2), (props, props2),
+        jax.random.key(1), stack_twins=False, **kw)
+    out_c2, out_w2, logits2 = model_apply_comparative(
+        params, spec, (graph, graph2), (seq, seq2), (props, props2),
+        jax.random.key(1), stack_twins=True, **kw)
+    np.testing.assert_allclose(np.asarray(logits2), np.asarray(logits),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in ((out_c, out_c2), (out_w, out_w2)):
+        np.testing.assert_allclose(np.asarray(b.embedding),
+                                   np.asarray(a.embedding),
+                                   rtol=1e-5, atol=1e-5)
+        if a.recon is not None:
+            np.testing.assert_allclose(np.asarray(b.recon),
+                                       np.asarray(a.recon),
+                                       rtol=1e-5, atol=1e-5)
+
+
+def test_stack_twins_train_mode_finite_and_close(batch):
+    """Train mode: the stacked path draws a different eps/dropout stream, so
+    outputs differ — but mu/logvar (noise-free) must still agree."""
+    graph, seq, props = batch
+    spec, params = build_model("HybridModelv2_Comparative", VAE_DIM,
+                               jax.random.key(0))
+    kw = dict(deterministic=False, aggregation="scatter")
+    out_c, _, logits = model_apply_comparative(
+        params, spec, (graph, graph), (seq, seq), (props, props),
+        jax.random.key(5), stack_twins=False, **kw)
+    out_c2, _, logits2 = model_apply_comparative(
+        params, spec, (graph, graph), (seq, seq), (props, props),
+        jax.random.key(5), stack_twins=True, **kw)
+    assert np.isfinite(np.asarray(logits2)).all()
+    np.testing.assert_allclose(np.asarray(out_c2.mu), np.asarray(out_c.mu),
+                               rtol=1e-5, atol=1e-5)

@@ -1,0 +1,114 @@
+"""Parity tests for the mega-fused EGNN kernel (interpret mode).
+
+aggregation='mega' (ops/pallas_mega.py: in-VMEM one-hots + gather + edge
+program + aggregation in one kernel) must match the 'onehot' and 'fused'
+paths — same math, different residency — for forward values and for
+gradients wrt every parameter and input. Tolerances are f32-roundoff
+scale, as tests/test_pallas_edge.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from immunostruct_tpu.ops import egnn as eg
+from immunostruct_tpu.ops.pallas_mega import mega_pick_tile
+
+
+def _toy(b=3, n=24, e=128, seed=0):
+    rng = np.random.default_rng(seed)
+    h = jnp.asarray(rng.standard_normal((b, n, 20)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((b, n, 3)).astype(np.float32))
+    esrc = jnp.asarray(rng.integers(0, n, (b, e)).astype(np.int32))
+    edst = jnp.asarray(rng.integers(0, n, (b, e)).astype(np.int32))
+    efeat = jnp.asarray(rng.standard_normal((b, e, 1)).astype(np.float32))
+    emask = jnp.asarray(rng.random((b, e)) > 0.25)
+    params = eg.egnn_stack_init(jax.random.key(seed), 3, 20, 64)
+    return params, h, x, esrc, edst, efeat, emask
+
+
+def _loss(params, h, x, esrc, edst, efeat, emask, agg, scan=False):
+    hn, xn = eg.egnn_stack_apply(params, h, x, esrc, edst, efeat, emask,
+                                 aggregation=agg, scan_layers=scan)
+    return jnp.sum(hn ** 2) * 1e-3 + jnp.sum(xn ** 2) * 1e-3
+
+
+def test_mega_matches_onehot_forward_and_grads():
+    params, *args = _toy()
+    l_one, g_one = jax.value_and_grad(_loss)(params, *args, "onehot")
+    l_mega, g_mega = jax.value_and_grad(_loss)(params, *args, "mega")
+    assert np.isfinite(float(l_mega))
+    np.testing.assert_allclose(float(l_mega), float(l_one),
+                               rtol=5e-4, atol=5e-5)
+    ref_scale = max(float(jnp.max(jnp.abs(g))) for g in jax.tree.leaves(g_one))
+    for a, b in zip(jax.tree.leaves(g_one), jax.tree.leaves(g_mega)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3 * ref_scale)
+
+
+def test_mega_matches_scatter_values():
+    params, *args = _toy(seed=3)
+    np.testing.assert_allclose(float(_loss(params, *args, "mega")),
+                               float(_loss(params, *args, "scatter")),
+                               rtol=5e-4, atol=5e-5)
+
+
+def test_mega_grad_wrt_inputs_matches():
+    params, h, x, esrc, edst, efeat, emask = _toy(seed=5)
+
+    def loss_hx(h, x, agg):
+        return _loss(params, h, x, esrc, edst, efeat, emask, agg)
+
+    gh1, gx1 = jax.grad(loss_hx, argnums=(0, 1))(h, x, "onehot")
+    gh2, gx2 = jax.grad(loss_hx, argnums=(0, 1))(h, x, "mega")
+    np.testing.assert_allclose(np.asarray(gh1), np.asarray(gh2),
+                               rtol=2e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                               rtol=2e-3, atol=1e-4)
+
+
+def test_mega_multi_tile_accumulation():
+    """E spanning several tiles: per-tile partial aggregates must sum
+    exactly (revisited-output accumulation across the inner grid axis)."""
+    params, *args = _toy(b=2, n=136, e=512, seed=7)
+    n = 136
+    assert mega_pick_tile(512, n) in (128, 256, 512)
+    # force multiple tiles by checking against a tile-count-independent path
+    l_one, g_one = jax.value_and_grad(_loss)(params, *args, "onehot")
+    l_mega, g_mega = jax.value_and_grad(_loss)(params, *args, "mega")
+    np.testing.assert_allclose(float(l_mega), float(l_one),
+                               rtol=5e-4, atol=5e-5)
+    ref_scale = max(float(jnp.max(jnp.abs(g))) for g in jax.tree.leaves(g_one))
+    for a, b in zip(jax.tree.leaves(g_one), jax.tree.leaves(g_mega)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3 * ref_scale)
+
+
+def test_mega_with_scan_layers_matches():
+    params, *args = _toy(seed=9)
+    l_plain = _loss(params, *args, "mega", scan=False)
+    l_scan = _loss(params, *args, "mega", scan=True)
+    np.testing.assert_allclose(float(l_scan), float(l_plain),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_mega_fallback_on_unsupported_shapes():
+    """Non-128-multiple edge pads warn and fall back to 'fused'/'onehot'."""
+    import warnings
+    params, h, x, esrc, edst, efeat, emask = _toy(e=100, seed=11)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        l = _loss(params, h, x, esrc, edst, efeat, emask, "mega")
+    assert np.isfinite(float(l))
+    assert any("mega" in str(x.message) for x in w)
+
+
+def test_mega_bf16_close_to_f32():
+    params, h, x, esrc, edst, efeat, emask = _toy(seed=13)
+    cast = lambda t: jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if a.dtype == jnp.float32 else a, t)
+    l32 = _loss(params, h, x, esrc, edst, efeat, emask, "mega")
+    l16 = _loss(cast(params), cast(h), cast(x), esrc, edst,
+                cast(efeat), emask, "mega")
+    np.testing.assert_allclose(float(l16), float(l32), rtol=0.05)
