@@ -187,12 +187,17 @@ def reset_head(params: dict, spec: ModelSpec, key: jax.Array,
 # --------------------------------------------------------------------------
 
 def _structure_branch(params: dict, spec: ModelSpec, graph: GraphBatch,
-                      aggregation: str, compute_dtype, scan_layers: bool = False):
+                      aggregation: str, compute_dtype, scan_layers: bool = False,
+                      mp=None):
     h = graph.node_feat[..., :NUM_AMINO_ACIDS].astype(compute_dtype)
     x = graph.coords.astype(compute_dtype)
-    h, _ = egnn_stack_apply(params["gcn"], h, x, graph.edge_src, graph.edge_dst,
-                            graph.edge_feat, graph.edge_mask, aggregation=aggregation,
-                            scan_layers=scan_layers)
+    if mp is not None and mp.pp_axis is not None and len(params["gcn"]) > 1:
+        h, _ = _egnn_stack_gpipe(params["gcn"], h, x, graph, aggregation, mp)
+    else:
+        h, _ = egnn_stack_apply(params["gcn"], h, x, graph.edge_src,
+                                graph.edge_dst, graph.edge_feat,
+                                graph.edge_mask, aggregation=aggregation,
+                                scan_layers=scan_layers)
     if spec.node_attention == "self":
         attn_out, attn_w = self_attention_apply(params["node_attn"], h)
     else:
@@ -205,12 +210,61 @@ def _structure_branch(params: dict, spec: ModelSpec, graph: GraphBatch,
     return pooled, attn_w
 
 
-def _vae_encode(params: dict, seq_flat: jax.Array):
+def _egnn_stack_gpipe(layers, h, x, graph: GraphBatch, aggregation: str, mp):
+    """Hidden EGNN convs as a GPipe pipeline over mp.pp_axis (the natural
+    shape-homogeneous stage stack, parallel/pipeline.py); the input conv
+    (different in-dim) runs locally first. Edge data rides as gpipe aux.
+    Must execute inside shard_map over the pipe axis."""
+    from immunostruct_tpu.parallel.mp import pad_pipeline_stages
+    from immunostruct_tpu.parallel.pipeline import gpipe_apply
+    from immunostruct_tpu.ops.egnn import egnn_apply
+
+    h, x = egnn_apply(layers[0], h, x, graph.edge_src, graph.edge_dst,
+                      graph.edge_feat, graph.edge_mask,
+                      aggregation=aggregation)
+    n_stages = jax.lax.axis_size(mp.pp_axis)   # static inside shard_map
+    stacked, on = pad_pipeline_stages(layers[1:], int(n_stages))
+    aux = (graph.edge_src, graph.edge_dst, graph.edge_feat, graph.edge_mask)
+
+    def layer_fn(stage, hx, aux_t):
+        params_s, on_s = stage
+        h_, x_ = hx[..., :-3], hx[..., -3:]
+        src, dst, ef, em = aux_t
+        h2, x2 = egnn_apply(params_s, h_, x_, src, dst, ef, em,
+                            aggregation=aggregation)
+        out = jnp.concatenate([h2, x2], axis=-1)
+        return jnp.where(on_s > 0, out, hx)          # pad stages = identity
+
+    hx = jnp.concatenate([h, x], axis=-1)
+    hx = gpipe_apply(layer_fn, (stacked, on), hx, mp.pp_microbatches,
+                     axis_name=mp.pp_axis, aux=aux)
+    return hx[..., :-3], hx[..., -3:]
+
+
+def _vae_encode(params: dict, seq_flat: jax.Array, mp=None):
+    if mp is not None and mp.tp_axis is not None:
+        from immunostruct_tpu.parallel.tensor import (
+            column_parallel_apply, row_parallel_apply)
+        h1 = jax.nn.relu(column_parallel_apply(
+            params["fc1"]["w"], params["fc1"].get("b"), seq_flat, mp.tp_axis))
+        mu = row_parallel_apply(params["fc21"]["w"], params["fc21"].get("b"),
+                                h1, mp.tp_axis)
+        logvar = row_parallel_apply(params["fc22"]["w"],
+                                    params["fc22"].get("b"), h1, mp.tp_axis)
+        return mu, logvar
     h1 = jax.nn.relu(linear_apply(params["fc1"], seq_flat))
     return linear_apply(params["fc21"], h1), linear_apply(params["fc22"], h1)
 
 
-def _vae_decode(params: dict, z: jax.Array):
+def _vae_decode(params: dict, z: jax.Array, mp=None):
+    if mp is not None and mp.tp_axis is not None:
+        from immunostruct_tpu.parallel.tensor import (
+            column_parallel_apply, row_parallel_apply)
+        h3 = jax.nn.relu(column_parallel_apply(
+            params["fc3"]["w"], params["fc3"].get("b"), z,
+            mp.tp_axis)).astype(z.dtype)
+        return row_parallel_apply(params["fc4"]["w"], params["fc4"].get("b"),
+                                  h3, mp.tp_axis)
     h3 = jax.nn.relu(linear_apply(params["fc3"], z)).astype(z.dtype)
     return linear_apply(params["fc4"], h3)
 
@@ -232,7 +286,7 @@ def forward_item(params: dict, spec: ModelSpec, graph: Optional[GraphBatch],
                  seq_onehot: Optional[jax.Array], props: Optional[jax.Array],
                  rng: jax.Array, deterministic: bool = False,
                  aggregation: str = "auto", compute_dtype=jnp.float32,
-                 scan_layers: bool = False):
+                 scan_layers: bool = False, mp=None):
     """Single-branch forward shared by plain and comparative paths.
 
     Returns (embedding, recon, mu, logvar, attn_weights). ``embedding`` is
@@ -245,13 +299,13 @@ def forward_item(params: dict, spec: ModelSpec, graph: Optional[GraphBatch],
 
     if spec.use_structure:
         pooled, attn_w = _structure_branch(params, spec, graph, aggregation,
-                                           compute_dtype, scan_layers)
+                                           compute_dtype, scan_layers, mp=mp)
         pieces.append(pooled)
 
     if spec.use_sequence:
         b = seq_onehot.shape[0]
         seq_flat = seq_onehot.reshape(b, -1).astype(compute_dtype)
-        mu, logvar = _vae_encode(params["vae"], seq_flat)
+        mu, logvar = _vae_encode(params["vae"], seq_flat, mp=mp)
         z = _reparameterize(k_eps, mu, logvar)
         if spec.use_property:
             prop_emb = _property_branch(params["property_embedding"],
@@ -260,7 +314,7 @@ def forward_item(params: dict, spec: ModelSpec, graph: Optional[GraphBatch],
             z = jnp.concatenate([z, prop_emb], axis=-1)
         if spec.raw_property_concat:
             z = jnp.concatenate([z, props.astype(z.dtype)], axis=-1)
-        recon = _vae_decode(params["vae"], z)
+        recon = _vae_decode(params["vae"], z, mp=mp)
         pieces.append(z)
 
     embedding = jnp.concatenate(pieces, axis=-1) if len(pieces) > 1 else pieces[0]
@@ -292,7 +346,7 @@ def model_apply(params: dict, spec: ModelSpec, graph: Optional[GraphBatch],
                 seq_onehot: Optional[jax.Array], props: Optional[jax.Array],
                 rng: jax.Array, deterministic: bool = False,
                 aggregation: str = "auto", compute_dtype=jnp.float32,
-                scan_layers: bool = False) -> ModelOutput:
+                scan_layers: bool = False, mp=None) -> ModelOutput:
     """Plain (non-comparative) forward.
 
     For comparative specs this is the pretraining path: the item embedding is
@@ -302,7 +356,7 @@ def model_apply(params: dict, spec: ModelSpec, graph: Optional[GraphBatch],
     k_item, k_cls = jax.random.split(rng)
     embedding, recon, mu, logvar, attn_w = forward_item(
         params, spec, graph, seq_onehot, props, k_item, deterministic,
-        aggregation, compute_dtype, scan_layers)
+        aggregation, compute_dtype, scan_layers, mp=mp)
 
     combined = embedding
     if spec.comparative and spec.use_wt_for_downstream:
@@ -319,7 +373,7 @@ def model_apply_comparative(
     graph_pair, seq_pair, props_pair,
     rng: jax.Array, deterministic: bool = False,
     aggregation: str = "auto", compute_dtype=jnp.float32,
-    scan_layers: bool = False, stack_twins: bool = False,
+    scan_layers: bool = False, stack_twins: bool = False, mp=None,
 ):
     """Twin forward over (cancer, wt) with shared weights.
 
@@ -347,7 +401,8 @@ def model_apply_comparative(
             lambda a, w: jnp.concatenate([a, w], axis=0), p[0], p[1])
         emb, recon, mu, logvar, attn = forward_item(
             params, spec, cat(graph_pair), cat(seq_pair), cat(props_pair),
-            k_item, deterministic, aggregation, compute_dtype, scan_layers)
+            k_item, deterministic, aggregation, compute_dtype, scan_layers,
+            mp=mp)
         halves = lambda t: (None, None) if t is None else (t[:b], t[b:])
         emb_c, emb_w = halves(emb)
         recon_c, recon_w = halves(recon)
@@ -358,10 +413,10 @@ def model_apply_comparative(
         k_c, k_w, k_cls = jax.random.split(rng, 3)
         emb_c, recon_c, mu_c, logvar_c, attn_c = forward_item(
             params, spec, graph_pair[0], seq_pair[0], props_pair[0], k_c,
-            deterministic, aggregation, compute_dtype, scan_layers)
+            deterministic, aggregation, compute_dtype, scan_layers, mp=mp)
         emb_w, recon_w, mu_w, logvar_w, attn_w = forward_item(
             params, spec, graph_pair[1], seq_pair[1], props_pair[1], k_w,
-            deterministic, aggregation, compute_dtype, scan_layers)
+            deterministic, aggregation, compute_dtype, scan_layers, mp=mp)
 
     if spec.use_wt_for_downstream:
         combined = jnp.concatenate([emb_c, emb_w], axis=-1)

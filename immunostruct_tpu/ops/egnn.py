@@ -224,19 +224,29 @@ def _egnn_apply_fused(params, h, x, edge_feat, scatter_matrix, src_matrix):
 
 
 def _egnn_apply_mega(params, h, x, edge_src, edge_dst, edge_feat, edge_mask):
-    """One EGNN layer entirely inside the mega kernel (ops/pallas_mega.py):
-    one-hot tiles built in VMEM from the raw indices, gathers, edge/coord
-    MLP chain and dst-aggregation in one Pallas program — no [B,C,E]
-    edge-space tensor and no [B,N,E] one-hot matrix ever reach HBM."""
+    """One EGNN layer in the mega kernel (ops/pallas_mega.py): one-hot
+    tiles built in VMEM from the raw indices, gathers, edge/coord MLP
+    chain and dst-aggregation in one Pallas program — no [B,C,E]
+    edge-space tensor and no [B,N,E] one-hot matrix ever reach HBM.
+    Projection-first: the edge MLP's L1 is linear in (h_src, h_dst), so
+    its weight halves are applied here at NODE level (XLA autodiff covers
+    dW1 and d_h) and the kernel gathers the projections."""
     from immunostruct_tpu.ops.pallas_edge import pack_params
     from immunostruct_tpu.ops.pallas_mega import edge_mega
 
     interpret = not _on_tpu()
-    hx = jnp.concatenate([h, x.astype(h.dtype)], axis=-1)   # [B,N,F+3]
+    f = h.shape[-1]
     w1ab, w2, wc1, small = pack_params(params["edge_mlp"],
                                        params["coord_mlp"])
-    agg = edge_mega(edge_src, edge_dst, edge_mask, edge_feat, hx,
-                    w1ab, w2, wc1, small, interpret).astype(h.dtype)
+    xc = x.astype(h.dtype)
+    pa = jnp.einsum("bnf,fh->bnh", h, w1ab[:f].astype(h.dtype),
+                    preferred_element_type=jnp.float32).astype(h.dtype)
+    pb = jnp.einsum("bnf,fh->bnh", h, w1ab[f:].astype(h.dtype),
+                    preferred_element_type=jnp.float32).astype(h.dtype)
+    bundle_a = jnp.concatenate([pa, xc], axis=-1)           # [B,N,H+3]
+    bundle_b = jnp.concatenate([pb, xc], axis=-1)
+    agg = edge_mega(edge_src, edge_dst, edge_mask, edge_feat, bundle_a,
+                    bundle_b, w2, wc1, small, interpret).astype(h.dtype)
     c = agg.shape[-1] - 3
     h_agg, x_agg = agg[..., :c], agg[..., c:].astype(x.dtype)
     return _node_update(params, h, x, h_agg, x_agg)

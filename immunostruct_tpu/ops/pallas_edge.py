@@ -124,13 +124,8 @@ class _Chain(NamedTuple):
     cw: object
 
 
-def _chain_fwd(hsd, rad_b, ef, w1ab, w2, wc1, small, dtype) -> "_Chain":
-    """Shared forward recompute (see _Chain)."""
-    smf = small.astype(jnp.float32)
-    a1 = (_dotT(w1ab, hsd, dtype)
-          + smf[:, _W1R:_W1R + 1] * rad_b.astype(jnp.float32)
-          + smf[:, _W1E:_W1E + 1] * ef.astype(jnp.float32)
-          + smf[:, _B1:_B1 + 1])
+def _chain_from_a1(a1, w2, wc1, smf, dtype) -> "_Chain":
+    """Chain tail from the L1 pre-activation a1 (f32 [H,T])."""
     s1 = jax.nn.sigmoid(a1)
     a1s = (a1 * s1).astype(dtype)
     p2 = _dotT(w2, a1s, dtype) + smf[:, _B2:_B2 + 1]
@@ -142,6 +137,16 @@ def _chain_fwd(hsd, rad_b, ef, w1ab, w2, wc1, small, dtype) -> "_Chain":
     cw = jnp.sum(c1.astype(jnp.float32) * smf[:, _WC2:_WC2 + 1],
                  axis=0, keepdims=True)                   # [1,T] f32
     return _Chain(a1, s1, a1s, p2, s2, m, p3, s3, c1, cw)
+
+
+def _chain_fwd(hsd, rad_b, ef, w1ab, w2, wc1, small, dtype) -> "_Chain":
+    """Shared forward recompute (see _Chain)."""
+    smf = small.astype(jnp.float32)
+    a1 = (_dotT(w1ab, hsd, dtype)
+          + smf[:, _W1R:_W1R + 1] * rad_b.astype(jnp.float32)
+          + smf[:, _W1E:_W1E + 1] * ef.astype(jnp.float32)
+          + smf[:, _B1:_B1 + 1])
+    return _chain_from_a1(a1, w2, wc1, smf, dtype)
 
 
 def _fwd_kernel(hsx_ref, hdx_ref, ef_ref,
@@ -261,12 +266,21 @@ def _whole_spec(shp):
                         memory_space=pltpu.VMEM)
 
 
-def _call_setup(hsx, w1ab, w2, wc1, small):
-    """Shared grid/spec preamble for both kernel launches."""
+def _call_setup(hsx, w1ab, w2, wc1, small, max_tile: int = 0):
+    """Shared grid/spec preamble for both kernel launches.
+
+    max_tile caps the tile below pick_tile's VMEM ceiling: the BACKWARD
+    kernel's ~18 live buffers at T=2560 fill ~11.5 MB of VMEM, leaving no
+    room to double-buffer the edge blocks — DMA then serializes with
+    compute (measured ~2.2x the kernel's traffic+MXU floor). A smaller
+    backward tile restores the overlap headroom."""
     b, f3, e = hsx.shape
     hid = w2.shape[1]
     t = pick_tile(e, hid)
     assert t, f"edge count {e} has no 128-multiple tile"
+    if max_tile and t > max_tile:
+        capped = pick_tile(min(e, max_tile), hid)
+        t = capped if capped and e % capped == 0 else t
     in_specs = [_edge_spec(f3, t), _edge_spec(f3, t), _edge_spec(1, t)] + [
         _whole_spec(w.shape) for w in (w1ab, w2, wc1, small)]
     return b, f3, e, f3 - 3, hid, t, (b, e // t), in_specs
@@ -284,9 +298,16 @@ def _fwd_call(hsx, hdx, ef, w1ab, w2, wc1, small, interpret):
     )(hsx, hdx, ef, w1ab, w2, wc1, small)
 
 
+# Backward-tile cap: 1280 measured SLOWER than the full-E tile at bench
+# shapes (11.97 vs 11.40 ms/step, round-3 re-test) — the ~0.7 us/grid-cell
+# fixed overhead of the extra cells outweighs any DMA-overlap gain from
+# the freed VMEM. Disabled (0); kept as the documented knob.
+_BWD_MAX_TILE = 0
+
+
 def _bwd_call(hsx, hdx, ef, w1ab, w2, wc1, small, dout, interpret):
     b, f3, e, f_in, hid, t, grid, in_specs = _call_setup(
-        hsx, w1ab, w2, wc1, small)
+        hsx, w1ab, w2, wc1, small, max_tile=_BWD_MAX_TILE)
     in_specs = in_specs + [_edge_spec(hid + 3, t)]
     out_specs = [_edge_spec(f3, t), _edge_spec(f3, t), _edge_spec(1, t)] + [
         _whole_spec(w.shape) for w in (w1ab, w2, wc1, small)]

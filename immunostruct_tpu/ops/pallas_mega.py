@@ -8,26 +8,38 @@ materializes a [B, C, E] edge-space tensor in HBM: the profiled step moves
 ~8.8 GB/step and sits at ~97% of the v5e HBM roofline (VERDICT round 2,
 judge's accounting), so the only route forward is cutting bytes.
 
-This kernel (VERDICT round-2 item 1) takes the RAW edge indices instead:
+This kernel (VERDICT round-2 item 1) takes the RAW edge indices instead,
+in the PROJECTION-FIRST formulation: the edge MLP's first layer is linear
+in (h_src, h_dst), so its weight halves are applied at NODE level in XLA
+(pa = h @ W1a, pb = h @ W1b — [B,N,H] node tensors, ~1/9 the edge count)
+and the kernel assembles a1 by GATHERING the projections:
 
     per grid cell (batch item i, edge tile j):
       S_src/S_dst = (iota[N,T] == idx_row) * mask      built in VMEM
-      hs/hd       = hx^T @ S                           gather, MXU
-      m, msg_x    = edge program                        (pallas_edge math)
+      ga, gb      = [pa ++ x]^T S_src, [pb ++ x]^T S_dst      gather, MXU
+      a1          = ga[:H] + gb[:H] + w1r*radial + w1e*ef + b1  (no L1 dot)
+      m, msg_x    = edge-MLP tail + coord MLP           (pallas_edge math)
       out[i]     += S_dst @ [m ++ msg_x]               aggregation, MXU
 
 so NO edge-space tensor ([B,C,E]-class) ever exists in HBM — per layer the
-kernel reads the [B,N,C] node bundle + [B,E] indices and writes the
-[B,N,H+3] aggregate. The backward kernel recomputes everything from the
-same inputs (in-kernel rematerialization, like pallas_edge) and emits
-d_hx/d_ef plus f32 weight grads accumulated across the sequential grid.
+kernel reads two [B,N,H+3] node bundles + [B,E] indices and writes the
+[B,N,H+3] aggregate. The backward kernel recomputes the chain from the
+same inputs (in-kernel rematerialization) and emits d_bundle_a/d_bundle_b
+/d_ef plus f32 weight grads accumulated across the sequential grid; the
+L1 weight/input grads fall out of XLA's autodiff of the node-level
+projections (outside the custom_vjp), removing the dW1ab and
+w1ab-transpose dots from the kernel entirely.
 
-Trade measured against the 'fused' path: ~8 gather-class matmuls per layer
-(fwd 3, bwd recompute 2 + d_both 1 + d_hx 2) instead of XLA's ~6, plus
-in-VMEM one-hot construction on the VPU — against the removal of ~all
-edge-space HBM traffic. Numerics match the 'fused'/'onehot' paths to
-roundoff (the aggregation accumulates f32 across tiles, strictly more
-accurate than the einsum's single f32 contraction).
+Numerics match the 'fused'/'onehot' paths to roundoff in f32; under bf16
+the projections round once more than the fused path's in-kernel L1 dot
+(tolerance-level, tests/test_pallas_mega.py). The aggregation accumulates
+f32 across tiles — strictly more accurate than the einsum path.
+
+Measured history (benchmarks/RESULTS.md round 3): the v1 formulation with
+the L1 dot and all gathers at C=F+3 inside the kernel ran 13.1 ms/step vs
+the fused path's 11.5 at bench shapes (bwd kernel 6.8 ms at ~40% MXU
+util); this projection-first v2 cuts ~11% of the forward and ~17% of the
+backward kernel FLOPs.
 
 Used by ops/egnn.py aggregation='mega'. CPU/tests run interpret mode.
 Reference role: DGL EGNNConv's gSpMM message passing
@@ -44,19 +56,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from immunostruct_tpu.ops.pallas_edge import (
-    _chain_fwd, _geometry, _silu_grad, _dot_noT,
-    _W1R, _W1E, _WC2,
+    _chain_from_a1, _geometry, _silu_grad, _dot_noT,
+    _W1R, _W1E, _B1, _WC2,
 )
 
 
-def mega_pick_tile(e: int, n: int, hid: int = 64) -> int:
-    """Largest 128-multiple tile dividing E within the backward kernel's
-    VMEM budget, 0 if none.
+def mega_pick_tile(e: int, n: int, hid: int = 64,
+                   backward: bool = True) -> int:
+    """Largest 128-multiple tile dividing E within the kernel's VMEM
+    budget, 0 if none.
 
-    Backward worst case per edge of tile: ~18 live [H,T] f32-equivalent
-    chain buffers (~70 B per H-row element, as pallas_edge), the two
-    [N,T] bf16 one-hots, and ~6 [C,T]-class f32 gather/grad temps."""
-    per_edge = 70 * max(hid, 8) + 4 * n + 30 * (hid + 3)
+    Backward worst case per edge of tile: ~16 live [H,T] f32-equivalent
+    chain buffers (~64 B per H-row element), the two [N,T] bf16 one-hots,
+    and ~6 [C,T]-class f32 gather/grad temps. The forward holds roughly
+    half the chain buffers, so it takes a bigger tile (fewer grid cells
+    -> better pipelining)."""
+    per_edge = (64 if backward else 36) * max(hid, 8) + 4 * n + \
+        (30 if backward else 14) * (hid + 3)
     budget = 12 * 1024 * 1024 // per_edge
     best = 0
     t = 128
@@ -83,43 +99,49 @@ def _onehots(src_ref, dst_ref, mask_ref, n: int, dtype):
     return (s_src * mask).astype(dtype), (s_dst * mask).astype(dtype)
 
 
-def _gather(hx, s, dtype):
+def _gather(bundle, s, dtype):
     """[N,C] nodes x [N,T] one-hot -> [C,T] gathered bundle (f32 acc)."""
     return jax.lax.dot_general(
-        hx, s, dimension_numbers=(((0,), (0,)), ((), ())),
+        bundle, s, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dtype)
 
 
-def _recompute_front(src_ref, dst_ref, mask_ref, ef_ref, hx_ref,
-                     w1ab_ref, w2_ref, wc1_ref, small_ref, *, f_in: int):
+def _recompute_front(src_ref, dst_ref, mask_ref, ef_ref, ba_ref, bb_ref,
+                     w2_ref, wc1_ref, small_ref, *, hid: int):
     """Shared fwd/bwd front half: one-hots, gathers, geometry, MLP chain."""
-    dtype = hx_ref.dtype
-    n = hx_ref.shape[1]
-    hx = hx_ref[0]                                         # [N, C]
+    dtype = ba_ref.dtype
+    n = ba_ref.shape[1]
     s_src, s_dst = _onehots(src_ref, dst_ref, mask_ref, n, dtype)
-    hsx = _gather(hx, s_src, dtype)                        # [C, T]
-    hdx = _gather(hx, s_dst, dtype)
-    xd = hsx[f_in:] - hdx[f_in:]                           # [3, T]
+    ga = _gather(ba_ref[0], s_src, dtype)                  # [H+3, T]
+    gb = _gather(bb_ref[0], s_dst, dtype)
+    xd = ga[hid:] - gb[hid:]                               # [3, T]
     rad_b, radf, inv_s = _geometry(xd)
-    hsd = jnp.concatenate([hsx[:f_in], hdx[:f_in]], axis=0)
-    ch = _chain_fwd(hsd, rad_b, ef_ref[0], w1ab_ref[...], w2_ref[...],
-                    wc1_ref[...], small_ref[...], dtype)
-    return s_src, s_dst, hsd, xd, rad_b, radf, inv_s, ch
+    smf = small_ref[...].astype(jnp.float32)
+    a1 = (ga[:hid].astype(jnp.float32) + gb[:hid].astype(jnp.float32)
+          + smf[:, _W1R:_W1R + 1] * rad_b.astype(jnp.float32)
+          + smf[:, _W1E:_W1E + 1] * ef_ref[0].astype(jnp.float32)
+          + smf[:, _B1:_B1 + 1])
+    ch = _chain_from_a1(a1, w2_ref[...], wc1_ref[...], smf, dtype)
+    return s_src, s_dst, smf, xd, rad_b, radf, inv_s, ch
 
 
-def _mega_fwd_kernel(src_ref, dst_ref, mask_ref, ef_ref, hx_ref,
-                     w1ab_ref, w2_ref, wc1_ref, small_ref,
-                     out_ref, *, f_in: int):
-    dtype = hx_ref.dtype
+def _mega_fwd_kernel(src_ref, dst_ref, mask_ref, ef_ref, ba_ref, bb_ref,
+                     w2_ref, wc1_ref, small_ref,
+                     out_ref, a1_ref, xd_ref, *, hid: int):
+    dtype = ba_ref.dtype
     _, s_dst, _, xd, _, _, inv_s, ch = _recompute_front(
-        src_ref, dst_ref, mask_ref, ef_ref, hx_ref,
-        w1ab_ref, w2_ref, wc1_ref, small_ref, f_in=f_in)
+        src_ref, dst_ref, mask_ref, ef_ref, ba_ref, bb_ref,
+        w2_ref, wc1_ref, small_ref, hid=hid)
     x_hat = xd.astype(jnp.float32) * inv_s
     msgx = (ch.cw.astype(dtype).astype(jnp.float32) * x_hat).astype(dtype)
     both = jnp.concatenate([ch.m, msgx], axis=0)           # [H+3, T]
     part = jax.lax.dot_general(                            # [N, H+3] f32
         s_dst, both, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
+    # residuals for the backward: the L1 pre-activation + coordinate
+    # diffs let the backward skip the gathers entirely
+    a1_ref[0] = ch.a1.astype(dtype)
+    xd_ref[0] = xd
 
     @pl.when(pl.program_id(1) == 0)
     def _():
@@ -130,30 +152,32 @@ def _mega_fwd_kernel(src_ref, dst_ref, mask_ref, ef_ref, hx_ref,
         out_ref[0] += part
 
 
-def _mega_bwd_kernel(src_ref, dst_ref, mask_ref, ef_ref, hx_ref,
-                     w1ab_ref, w2_ref, wc1_ref, small_ref, dagg_ref,
-                     dhx_ref, def_ref,
-                     dw1ab_ref, dw2_ref, dwc1_ref, dsmall_ref, *, f_in: int):
-    dtype = hx_ref.dtype
-    hid = w2_ref.shape[1]
-    s_src, s_dst, hsd, xd, rad_b, radf, inv_s, ch = _recompute_front(
-        src_ref, dst_ref, mask_ref, ef_ref, hx_ref,
-        w1ab_ref, w2_ref, wc1_ref, small_ref, f_in=f_in)
-    a1, s1, a1s, p2, s2, m, p3, s3, c1, cw = ch
+def _tail_bwd_kernel(ef_ref, w2_ref, wc1_ref, small_ref,
+                     a1_ref, xd_ref, dout_ref,
+                     da1_ref, dxd_ref, def_ref,
+                     dw2_ref, dwc1_ref, dsmall_ref, *, hid: int):
+    """Backward of the edge-program TAIL only, from the saved residuals.
+
+    The gather/aggregation halves of the backward run as XLA one-hot
+    einsums in _edge_mega_bwd (measured 60-76% MXU utilization there vs
+    ~40% for the same dots inside a kernel — the v1-v3 all-in-kernel
+    backward variants lost to the hybrid, benchmarks/RESULTS.md)."""
+    dtype = a1_ref.dtype
+    xd = xd_ref[0]                                          # [3, T]
+    rad_b, radf, inv_s = _geometry(xd)
     smf = small_ref[...].astype(jnp.float32)
+    ch = _chain_from_a1(a1_ref[0].astype(jnp.float32), w2_ref[...],
+                        wc1_ref[...], smf, dtype)
+    a1, s1, a1s, p2, s2, m, p3, s3, c1, cw = ch
     ef = ef_ref[0]
     xdf = xd.astype(jnp.float32)
     x_hat = xdf * inv_s
     cw_b = cw.astype(dtype).astype(jnp.float32)
 
-    # d_both from the aggregation: out = S_dst @ both
-    d_both = jax.lax.dot_general(                          # [H+3, T] f32
-        dagg_ref[0], s_dst, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dtype)
+    d_both = dout_ref[0]                                    # [H+3, T]
     d_m_in = d_both[:hid]
     d_msgx = d_both[hid:].astype(jnp.float32)
 
-    # ---- edge-program backward (identical math to pallas_edge's) ----
     d_cw = jnp.sum(d_msgx * x_hat, axis=0, keepdims=True)
     d_xhat = d_msgx * cw_b
     d_c1 = smf[:, _WC2:_WC2 + 1] * d_cw
@@ -163,7 +187,6 @@ def _mega_bwd_kernel(src_ref, dst_ref, mask_ref, ef_ref, hx_ref,
     d_a1s = _dot_noT(w2_ref[...], d_p2, dtype)
     d_a1 = (d_a1s * _silu_grad(a1, s1)).astype(dtype)
     d_a1f = d_a1.astype(jnp.float32)
-    d_hsd = _dot_noT(w1ab_ref[...], d_a1, dtype).astype(dtype)
 
     d_rad_chain = jnp.sum(smf[:, _W1R:_W1R + 1] * d_a1f, axis=0,
                           keepdims=True)
@@ -173,33 +196,16 @@ def _mega_bwd_kernel(src_ref, dst_ref, mask_ref, ef_ref, hx_ref,
     d_rad = d_rad_chain + jnp.where(radf > 0, d_safe, 0.0)
     d_xd = (d_xhat * inv_s + 2.0 * xdf * d_rad).astype(dtype)
 
-    d_hsx = jnp.concatenate([d_hsd[:f_in], d_xd], axis=0)   # [C, T]
-    d_hdx = jnp.concatenate([d_hsd[f_in:], -d_xd], axis=0)
+    da1_ref[0] = d_a1
+    dxd_ref[0] = d_xd
     def_ref[0] = jnp.sum(smf[:, _W1E:_W1E + 1] * d_a1f, axis=0,
                          keepdims=True).astype(dtype)
-
-    # ---- gather backward: d_hx += S_src @ d_hsx^T + S_dst @ d_hdx^T ----
-    def scat(s, d):
-        return jax.lax.dot_general(
-            s, d, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)             # [N, C]
-
-    d_hx_part = scat(s_src, d_hsx) + scat(s_dst, d_hdx)
-
-    @pl.when(pl.program_id(1) == 0)
-    def _():
-        dhx_ref[0] = d_hx_part
-
-    @pl.when(pl.program_id(1) != 0)
-    def _():
-        dhx_ref[0] += d_hx_part
 
     # ---- weight grads: f32 accumulation in revisited output blocks ----
     first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
 
     @pl.when(first)
     def _():
-        dw1ab_ref[...] = jnp.zeros_like(dw1ab_ref)
         dw2_ref[...] = jnp.zeros_like(dw2_ref)
         dwc1_ref[...] = jnp.zeros_like(dwc1_ref)
         dsmall_ref[...] = jnp.zeros_like(dsmall_ref)
@@ -209,7 +215,6 @@ def _mega_bwd_kernel(src_ref, dst_ref, mask_ref, ef_ref, hx_ref,
             x, dy, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    dw1ab_ref[...] += outerT(hsd, d_a1)
     dw2_ref[...] += outerT(a1s, d_p2)
     dwc1_ref[...] += outerT(m, d_p3)
     ones = jnp.ones_like(d_cw)
@@ -241,60 +246,89 @@ def _whole_spec(shp):
                         memory_space=pltpu.VMEM)
 
 
-def _prep(src, dst, emask, ef, hx, hid):
-    b, n, c = hx.shape
+def _prep(src, dst, emask, ef, bundle_a, hid, backward=True):
+    b, n, c = bundle_a.shape
     e = src.shape[1]
-    t = mega_pick_tile(e, n, hid)
+    t = mega_pick_tile(e, n, hid, backward=backward)
     assert t, f"edge count {e} has no 128-multiple tile for mega"
     src3 = src.reshape(b, 1, e)
     dst3 = dst.reshape(b, 1, e)
-    mask3 = emask.reshape(b, 1, e).astype(hx.dtype)
-    ef3 = jnp.swapaxes(ef, 1, 2).astype(hx.dtype)          # [B, 1, E]
+    mask3 = emask.reshape(b, 1, e).astype(bundle_a.dtype)
+    ef3 = jnp.swapaxes(ef, 1, 2).astype(bundle_a.dtype)    # [B, 1, E]
     grid = (b, e // t)
     row = _row_spec(t)
     return b, n, c, e, t, grid, src3, dst3, mask3, ef3, row
 
 
-def _mega_fwd_call(src, dst, emask, ef, hx, w1ab, w2, wc1, small, interpret):
+def _mega_fwd_call(src, dst, emask, ef, ba, bb, w2, wc1, small, interpret):
     hid = w2.shape[1]
     b, n, c, e, t, grid, src3, dst3, mask3, ef3, row = _prep(
-        src, dst, emask, ef, hx, hid)
-    in_specs = [row, row, row, row, _node_spec(n, c)] + [
-        _whole_spec(w.shape) for w in (w1ab, w2, wc1, small)]
+        src, dst, emask, ef, ba, hid, backward=False)
+    in_specs = [row, row, row, row, _node_spec(n, c), _node_spec(n, c)] + [
+        _whole_spec(w.shape) for w in (w2, wc1, small)]
     return pl.pallas_call(
-        functools.partial(_mega_fwd_kernel, f_in=c - 3),
+        functools.partial(_mega_fwd_kernel, hid=hid),
         grid=grid, in_specs=in_specs,
-        out_specs=_node_spec(n, hid + 3),
-        out_shape=jax.ShapeDtypeStruct((b, n, hid + 3), jnp.float32),
+        out_specs=[_node_spec(n, hid + 3),
+                   pl.BlockSpec((1, hid, t), lambda i, j: (i, 0, j),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 3, t), lambda i, j: (i, 0, j),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((b, n, hid + 3), jnp.float32),
+                   jax.ShapeDtypeStruct((b, hid, e), ba.dtype),
+                   jax.ShapeDtypeStruct((b, 3, e), ba.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(src3, dst3, mask3, ef3, hx, w1ab, w2, wc1, small)
+    )(src3, dst3, mask3, ef3, ba, bb, w2, wc1, small)
 
 
-def _mega_bwd_call(src, dst, emask, ef, hx, w1ab, w2, wc1, small, dagg,
-                   interpret):
+def _tail_bwd_call(ef, w2, wc1, small, a1, xd, d_both, interpret):
     hid = w2.shape[1]
-    b, n, c, e, t, grid, src3, dst3, mask3, ef3, row = _prep(
-        src, dst, emask, ef, hx, hid)
-    in_specs = [row, row, row, row, _node_spec(n, c)] + [
-        _whole_spec(w.shape) for w in (w1ab, w2, wc1, small)] + [
-        _node_spec(n, hid + 3)]
-    out_specs = [_node_spec(n, c), row] + [
-        _whole_spec(w.shape) for w in (w1ab, w2, wc1, small)]
+    b, _, e = a1.shape
+    # tail holds ~10 chain + ~6 grad [H,T]-class buffers: a bigger tile
+    # than the old all-in-kernel backward (fewer cells -> less of the
+    # ~0.7us/cell fixed overhead)
+    per_edge = 52 * max(hid, 8) + 10 * (hid + 3)
+    budget = 12 * 1024 * 1024 // per_edge
+    t = 0
+    cand = 128
+    while cand <= e:
+        if e % cand == 0 and cand <= budget:
+            t = cand
+        cand += 128
+    assert t, f"edge count {e} has no 128-multiple tile for mega tail"
+    grid = (b, e // t)
+    row1 = pl.BlockSpec((1, 1, t), lambda i, j: (i, 0, j),
+                        memory_space=pltpu.VMEM)
+    rowH = pl.BlockSpec((1, hid, t), lambda i, j: (i, 0, j),
+                        memory_space=pltpu.VMEM)
+    row3 = pl.BlockSpec((1, 3, t), lambda i, j: (i, 0, j),
+                        memory_space=pltpu.VMEM)
+    rowC = pl.BlockSpec((1, hid + 3, t), lambda i, j: (i, 0, j),
+                        memory_space=pltpu.VMEM)
+    ef3 = jnp.swapaxes(ef, 1, 2).astype(a1.dtype)
+    in_specs = [row1] + [_whole_spec(w.shape) for w in (w2, wc1, small)] + [
+        rowH, row3, rowC]
+    out_specs = [rowH, row3, row1] + [
+        _whole_spec(w.shape) for w in (w2, wc1, small)]
     out_shape = [
-        jax.ShapeDtypeStruct((b, n, c), jnp.float32),
-        jax.ShapeDtypeStruct((b, 1, e), hx.dtype),
-        jax.ShapeDtypeStruct(w1ab.shape, jnp.float32),
+        jax.ShapeDtypeStruct((b, hid, e), a1.dtype),
+        jax.ShapeDtypeStruct((b, 3, e), a1.dtype),
+        jax.ShapeDtypeStruct((b, 1, e), a1.dtype),
         jax.ShapeDtypeStruct(w2.shape, jnp.float32),
         jax.ShapeDtypeStruct(wc1.shape, jnp.float32),
         jax.ShapeDtypeStruct(small.shape, jnp.float32),
     ]
     return pl.pallas_call(
-        functools.partial(_mega_bwd_kernel, f_in=c - 3),
+        functools.partial(_tail_bwd_kernel, hid=hid),
         grid=grid, in_specs=in_specs,
         out_specs=out_specs, out_shape=out_shape,
+        # weight-grad whole-blocks accumulate across BOTH grid dims
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(src3, dst3, mask3, ef3, hx, w1ab, w2, wc1, small,
-      dagg.astype(hx.dtype))
+    )(ef3, w2, wc1, small, a1, xd, d_both)
 
 
 # --------------------------------------------------------------------------
@@ -302,33 +336,55 @@ def _mega_bwd_call(src, dst, emask, ef, hx, w1ab, w2, wc1, small, dagg,
 # --------------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
-def edge_mega(src, dst, emask, ef, hx, w1ab, w2, wc1, small,
+def edge_mega(src, dst, emask, ef, bundle_a, bundle_b, w2, wc1, small,
               interpret: bool = False):
-    """Full EGNN edge half-layer from raw indices.
+    """Full EGNN edge half-layer from raw indices (projection-first).
 
     src/dst: [B,E] int32; emask: [B,E] bool; ef: [B,E,1];
-    hx: [B,N,F+3] node features ++ coords in the compute dtype;
-    w1ab/w2/wc1/small: pallas_edge.pack_params layout.
+    bundle_a/bundle_b: [B,N,H+3] = (h @ W1a) ++ x and (h @ W1b) ++ x in
+    the compute dtype; w2/wc1/small: pallas_edge.pack_params layout
+    (w1ab is applied by the caller at node level and not passed).
     Returns [B, N, H+3] f32: per-node sums of messages (rows 0..H-1) and
     coordinate messages (rows H..H+2) — h_agg ++ x_agg.
     """
-    return _mega_fwd_call(src, dst, emask, ef, hx, w1ab, w2, wc1, small,
-                          interpret)
+    return _mega_fwd_call(src, dst, emask, ef, bundle_a, bundle_b,
+                          w2, wc1, small, interpret)[0]
 
 
-def _edge_mega_fwd(src, dst, emask, ef, hx, w1ab, w2, wc1, small, interpret):
-    out = edge_mega(src, dst, emask, ef, hx, w1ab, w2, wc1, small, interpret)
-    return out, (src, dst, emask, ef, hx, w1ab, w2, wc1, small)
+def _edge_mega_fwd(src, dst, emask, ef, bundle_a, bundle_b, w2, wc1, small,
+                   interpret):
+    out, a1, xd = _mega_fwd_call(src, dst, emask, ef, bundle_a, bundle_b,
+                                 w2, wc1, small, interpret)
+    return out, (src, dst, emask, ef, bundle_a, bundle_b, w2, wc1, small,
+                 a1, xd)
 
 
 def _edge_mega_bwd(interpret, res, g):
-    src, dst, emask, ef, hx, w1ab, w2, wc1, small = res
-    dhx, def_, dw1ab, dw2, dwc1, dsmall = _mega_bwd_call(
-        src, dst, emask, ef, hx, w1ab, w2, wc1, small, g, interpret)
+    """Hybrid backward: XLA one-hot einsums for the gather/aggregation
+    transposes (they run at 60-76% MXU utilization with the one-hots
+    rebuilt inside each fusion), one Pallas kernel for the edge-MLP tail
+    backward from the saved a1/xd residuals."""
+    src, dst, emask, ef, ba, bb, w2, wc1, small, a1, xd = res
+    dtype = ba.dtype
+    n = ba.shape[1]
+    hid = w2.shape[1]
+    mk = emask.astype(dtype)[:, None, :]
+    s_src = jax.nn.one_hot(src, n, dtype=dtype, axis=1) * mk   # [B,N,E]
+    s_dst = jax.nn.one_hot(dst, n, dtype=dtype, axis=1) * mk
+    d_both = jnp.einsum("bne,bnc->bce", s_dst, g.astype(dtype),
+                        preferred_element_type=jnp.float32).astype(dtype)
+    d_a1, d_xd, def_, dw2, dwc1, dsmall = _tail_bwd_call(
+        ef, w2, wc1, small, a1, xd, d_both, interpret)
+    d_ga = jnp.concatenate([d_a1, d_xd], axis=1)               # [B,H+3,E]
+    d_gb = jnp.concatenate([d_a1, -d_xd], axis=1)
+    dba = jnp.einsum("bne,bce->bnc", s_src, d_ga,
+                     preferred_element_type=jnp.float32)
+    dbb = jnp.einsum("bne,bce->bnc", s_dst, d_gb,
+                     preferred_element_type=jnp.float32)
     return (None, None, None, jnp.swapaxes(def_, 1, 2).astype(ef.dtype),
-            dhx.astype(hx.dtype),
-            dw1ab.astype(w1ab.dtype), dw2.astype(w2.dtype),
-            dwc1.astype(wc1.dtype), dsmall.astype(small.dtype))
+            dba.astype(ba.dtype), dbb.astype(bb.dtype),
+            dw2.astype(w2.dtype), dwc1.astype(wc1.dtype),
+            dsmall.astype(small.dtype))
 
 
 edge_mega.defvjp(_edge_mega_fwd, _edge_mega_bwd)

@@ -47,7 +47,8 @@ def stage_params(stacked, axis_name: str = "pipe"):
 
 
 def gpipe_apply(layer_fn: Callable, stacked_params, x: jax.Array,
-                n_microbatches: int, axis_name: str = "pipe") -> jax.Array:
+                n_microbatches: int, axis_name: str = "pipe",
+                aux=None) -> jax.Array:
     """Run ``layer_fn`` S times (one stage per device) over ``x``.
 
     layer_fn(params_s, act) -> act with IDENTICAL activation shapes in and
@@ -55,6 +56,14 @@ def gpipe_apply(layer_fn: Callable, stacked_params, x: jax.Array,
     B % n_microbatches == 0. Returns the replicated [B, ...] output equal
     to the sequential composition of all S stages. Must be called inside
     ``shard_map`` over ``axis_name``.
+
+    aux: optional pytree of [B, ...] arrays of per-example side data every
+    stage needs for the microbatch it is currently processing (e.g. the
+    EGNN edge lists/masks, which are data, not activations — they do not
+    hop with the pipeline). When given, layer_fn is called as
+    ``layer_fn(params_s, act, aux_microbatch)``: at tick t, stage s
+    receives aux rows of microbatch t - s (clipped during bubbles, whose
+    outputs are masked anyway).
     """
     s_count = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
@@ -64,6 +73,8 @@ def gpipe_apply(layer_fn: Callable, stacked_params, x: jax.Array,
     assert b % n_microbatches == 0, (b, n_microbatches)
     mb = b // n_microbatches
     micro = x.reshape((n_microbatches, mb) + x.shape[1:])
+    aux_micro = jax.tree.map(
+        lambda a: a.reshape((n_microbatches, mb) + a.shape[1:]), aux)
     zeros = jnp.zeros_like(micro[0])
     ticks = s_count + n_microbatches - 1
     perm = [(i, (i + 1) % s_count) for i in range(s_count)]
@@ -75,7 +86,15 @@ def gpipe_apply(layer_fn: Callable, stacked_params, x: jax.Array,
         feed = jnp.where(t < n_microbatches,
                          micro[jnp.clip(t, 0, n_microbatches - 1)], zeros)
         cur = jnp.where(idx == 0, feed, act)
-        out = layer_fn(my_params, cur)
+        if aux is None:
+            out = layer_fn(my_params, cur)
+        else:
+            m_here = jnp.clip(t - idx, 0, n_microbatches - 1)
+            aux_t = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, m_here, axis=0,
+                                                       keepdims=False),
+                aux_micro)
+            out = layer_fn(my_params, cur, aux_t)
         # the LAST stage's output for microbatch m = t - (S-1) is final;
         # capture it (masked elsewhere), then hop every activation right
         m = t - (s_count - 1)

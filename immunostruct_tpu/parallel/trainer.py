@@ -106,3 +106,56 @@ def shard_map_train_step(trainer: Trainer, mesh: Mesh, axis_name: str = "data",
         return fn(state, batch, rng)
 
     return jax.jit(step)
+
+
+def make_mp_train_step(trainer: Trainer, mesh: Mesh,
+                       data_axis: Optional[str] = None):
+    """Model-parallel (TP and/or PP) full train step for the REAL model.
+
+    ``trainer`` must carry an MPConfig (trainer.mp, parallel/mp.py) whose
+    axis names exist in ``mesh``; ``data_axis`` additionally shards the
+    batch (TP x DP / PP x DP). The per-shard forward runs inside one
+    ``shard_map`` over the whole mesh — the VAE Megatron pair's psums and
+    the GPipe ppermutes resolve against the named axes — while
+    differentiation and the optimizer run OUTSIDE the shard_map on the
+    replicated params, so weight-gradient reassembly across model shards
+    falls out of the shard_map transpose (the pattern pinned by
+    tests/test_tensor_parallel.py::test_tp_dp_2d_mesh_with_grads).
+
+    Returns a jitted (state, batch, rng) -> (state, loss) step.
+    """
+    assert trainer.mp is not None, "trainer must be built with mp=MPConfig(...)"
+
+    replicated = P()
+    batch_spec = P(data_axis) if data_axis else P()
+
+    def specs_like(tree, spec):
+        return jax.tree.map(lambda _: spec, tree,
+                            is_leaf=lambda x: x is None)
+
+    def loss_fn(params, batch, rng):
+        def inner(p, b, r):
+            if data_axis:
+                # decorrelate dropout/reparam noise across data shards
+                r = jax.random.fold_in(r, jax.lax.axis_index(data_axis))
+            loss = trainer._batch_loss(p, b, r, False)
+            if data_axis:
+                loss = jax.lax.pmean(loss, data_axis)
+            return loss
+
+        fn = shard_map(inner, mesh=mesh,
+                       in_specs=(specs_like(params, replicated),
+                                 specs_like(batch, batch_spec), replicated),
+                       out_specs=replicated, check_vma=False)
+        return fn(params, batch, rng)
+
+    def step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
+        updates, opt_state = trainer.optimizer.update(grads, state.opt_state,
+                                                      state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params=params, opt_state=opt_state,
+                          step=state.step + 1), loss
+
+    return jax.jit(step)

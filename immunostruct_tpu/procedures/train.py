@@ -83,7 +83,7 @@ class Trainer:
                  aggregation: str = "auto", compute_dtype=jnp.float32,
                  donate: bool = True, mesh=None, shard_batch=None,
                  grad_accum_steps: int = 1, scan_layers: bool = False,
-                 stack_twins: bool = False,
+                 stack_twins: bool = False, mp=None,
                  allow_microbatch_contrastive: bool = False):
         if (coeff_contrastive > 0 and grad_accum_steps > 1
                 and not allow_microbatch_contrastive):
@@ -123,6 +123,11 @@ class Trainer:
         # one 2B-stacked forward_item instead of two B-sized twin passes
         # (models/trunk.py::model_apply_comparative docstring)
         self.stack_twins = stack_twins
+        # model-parallel config (parallel/mp.py MPConfig). When set, the
+        # step MUST run inside shard_map over the named axes
+        # (parallel/trainer.py::make_mp_train_step); the plain jitted
+        # _train_step would fail on the unbound axis names.
+        self.mp = mp
 
         donate_args = (0,) if donate else ()
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=donate_args)
@@ -148,7 +153,7 @@ class Trainer:
                 (c.seq_onehot, w.seq_onehot), (c.props, w.props), rng,
                 deterministic=deterministic, aggregation=self.aggregation,
                 compute_dtype=self.compute_dtype, scan_layers=self.scan_layers,
-                stack_twins=self.stack_twins)
+                stack_twins=self.stack_twins, mp=self.mp)
             loss_c = self.loss_fn(out_c.recon, c.seq_onehot, out_c.mu, out_c.logvar,
                                   logits, c.target,
                                   node_logits=out_c.node_logits, residue=c.aux_residue)
@@ -165,7 +170,7 @@ class Trainer:
                           batch.props, rng, deterministic=deterministic,
                           aggregation=self.aggregation,
                           compute_dtype=self.compute_dtype,
-                          scan_layers=self.scan_layers)
+                          scan_layers=self.scan_layers, mp=self.mp)
         return self.loss_fn(out.recon, batch.seq_onehot, out.mu, out.logvar,
                             out.logits, batch.target,
                             node_logits=out.node_logits, residue=batch.aux_residue)
