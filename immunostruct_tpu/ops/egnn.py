@@ -44,7 +44,16 @@ Aggregation strategies:
              edge-space intermediate ever hits HBM and no diff one-hot
              matrix exists. Measured 14.6 -> 11.3 ms/step on the flagship
              fused train step at bench shapes (round 3).
-  'auto'     'fused' on TPU, 'scatter' otherwise.
+  'mega'     the whole layer in ONE Pallas kernel from the RAW edge
+             indices (ops/pallas_mega.py): one-hot tiles built in VMEM,
+             node-level L1 projections in-kernel, gathers + edge program
+             + dst-aggregation fused — no edge-space tensor or one-hot
+             matrix in HBM on the forward; the backward is a measured
+             hybrid (XLA one-hot einsums for the gather/aggregation
+             transposes + a Pallas tail kernel from saved a1/xd
+             residuals). Fastest measured path (11.24 vs 11.47 ms/step
+             for 'fused' at bench shapes, round 3 finale).
+  'auto'     'mega' on TPU, 'scatter' otherwise.
 
 Masking note: the gather one-hots are mask-zeroed like the aggregation
 matrix. A masked edge therefore gathers zeros instead of node values —
@@ -235,18 +244,11 @@ def _egnn_apply_mega(params, h, x, edge_src, edge_dst, edge_feat, edge_mask):
     from immunostruct_tpu.ops.pallas_mega import edge_mega
 
     interpret = not _on_tpu()
-    f = h.shape[-1]
     w1ab, w2, wc1, small = pack_params(params["edge_mlp"],
                                        params["coord_mlp"])
-    xc = x.astype(h.dtype)
-    pa = jnp.einsum("bnf,fh->bnh", h, w1ab[:f].astype(h.dtype),
-                    preferred_element_type=jnp.float32).astype(h.dtype)
-    pb = jnp.einsum("bnf,fh->bnh", h, w1ab[f:].astype(h.dtype),
-                    preferred_element_type=jnp.float32).astype(h.dtype)
-    bundle_a = jnp.concatenate([pa, xc], axis=-1)           # [B,N,H+3]
-    bundle_b = jnp.concatenate([pb, xc], axis=-1)
-    agg = edge_mega(edge_src, edge_dst, edge_mask, edge_feat, bundle_a,
-                    bundle_b, w2, wc1, small, interpret).astype(h.dtype)
+    agg = edge_mega(edge_src, edge_dst, edge_mask, edge_feat, h,
+                    x.astype(h.dtype), w1ab, w2, wc1, small,
+                    interpret).astype(h.dtype)
     c = agg.shape[-1] - 3
     h_agg, x_agg = agg[..., :c], agg[..., c:].astype(x.dtype)
     return _node_update(params, h, x, h_agg, x_agg)
@@ -395,7 +397,7 @@ def egnn_stack_apply(
     at trace time so the checkpoint/param layout is unchanged.
     """
     if aggregation == "auto":
-        aggregation = "fused" if _on_tpu() else "scatter"
+        aggregation = "mega" if _on_tpu() else "scatter"
     if aggregation == "pallas":
         from immunostruct_tpu.ops.pallas_segment import _pick_tile
         if _pick_tile(edge_dst.shape[1]) == 0:

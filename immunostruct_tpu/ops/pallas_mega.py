@@ -10,36 +10,51 @@ judge's accounting), so the only route forward is cutting bytes.
 
 This kernel (VERDICT round-2 item 1) takes the RAW edge indices instead,
 in the PROJECTION-FIRST formulation: the edge MLP's first layer is linear
-in (h_src, h_dst), so its weight halves are applied at NODE level in XLA
-(pa = h @ W1a, pb = h @ W1b — [B,N,H] node tensors, ~1/9 the edge count)
-and the kernel assembles a1 by GATHERING the projections:
+in (h_src, h_dst), so its weight halves are applied at NODE level
+(pa = h @ W1a, pb = h @ W1b — [N,F]@[F,H] dots at ~1/9 the edge count)
+INSIDE the forward kernel, and a1 is assembled by GATHERING the
+projections:
 
     per grid cell (batch item i, edge tile j):
       S_src/S_dst = (iota[N,T] == idx_row) * mask      built in VMEM
-      ga, gb      = [pa ++ x]^T S_src, [pb ++ x]^T S_dst      gather, MXU
-      a1          = ga[:H] + gb[:H] + w1r*radial + w1e*ef + b1  (no L1 dot)
-      m, msg_x    = edge-MLP tail + coord MLP           (pallas_edge math)
+      pa, pb      = h @ W1a, h @ W1b            node-level L1, MXU (tiny)
+      ga, gb      = pa^T S_src, pb^T S_dst                  gather, MXU
+      xd          = x^T (S_src - S_dst)            coordinate diff, MXU
+      a1          = ga + gb + w1r*radial + w1e*ef + b1     (no L1 dot)
+      m, msg_x    = edge-MLP tail + coord MLP          (pallas_edge math)
       out[i]     += S_dst @ [m ++ msg_x]               aggregation, MXU
 
-so NO edge-space tensor ([B,C,E]-class) ever exists in HBM — per layer the
-kernel reads two [B,N,H+3] node bundles + [B,E] indices and writes the
-[B,N,H+3] aggregate. The backward kernel recomputes the chain from the
-same inputs (in-kernel rematerialization) and emits d_bundle_a/d_bundle_b
-/d_ef plus f32 weight grads accumulated across the sequential grid; the
-L1 weight/input grads fall out of XLA's autodiff of the node-level
-projections (outside the custom_vjp), removing the dW1ab and
-w1ab-transpose dots from the kernel entirely.
+so on inference the layer touches NO edge-space tensor in HBM at all —
+it reads the [B,N,F] node features + [B,N,3] coords + [B,E] indices and
+writes the [B,N,H+3] aggregate; under training the forward additionally
+saves exactly two edge-space residuals (a1 [B,H,E], xd [B,3,E]) for the
+backward, down from the ~6 the 'fused' path materializes. (v2-v4 passed precomputed [pa ++ x]
+bundles from XLA instead; the profiler showed 47 layout copies of those
+bf16[128,288,64] tensors at the kernel boundary — moving the trivial
+projections in-kernel deleted them, 11.47 -> 11.24 ms/step.) The backward
+is a measured HYBRID: XLA one-hot einsums for the gather/aggregation
+transposes (they fuse with the one-hot rebuilds at 60-76% MXU util) plus
+one Pallas tail kernel that redoes only the edge-MLP chain from saved
+a1/xd residuals and accumulates f32 weight grads across the sequential
+grid; the L1 projection backward falls out of XLA's autodiff at node
+level.
 
 Numerics match the 'fused'/'onehot' paths to roundoff in f32; under bf16
 the projections round once more than the fused path's in-kernel L1 dot
 (tolerance-level, tests/test_pallas_mega.py). The aggregation accumulates
 f32 across tiles — strictly more accurate than the einsum path.
 
-Measured history (benchmarks/RESULTS.md round 3): the v1 formulation with
-the L1 dot and all gathers at C=F+3 inside the kernel ran 13.1 ms/step vs
-the fused path's 11.5 at bench shapes (bwd kernel 6.8 ms at ~40% MXU
-util); this projection-first v2 cuts ~11% of the forward and ~17% of the
-backward kernel FLOPs.
+Measured history (benchmarks/RESULTS.md round 3, step times at bench
+shapes vs 'fused' ~11.45): v1 (L1 dot + all gathers at C=F+3 in-kernel,
+fully-recomputing Pallas backward) 13.1 — the monolithic backward kernel
+ran at ~40% MXU util, worse than XLA's fused einsum transposes; v2
+(projection-first, XLA-side pa/pb) 13.2; v3 (+ a1 residual saved by the
+forward so the backward skips the front recompute) 12.5; v4 (HYBRID
+backward: XLA one-hot einsum transposes + Pallas tail kernel from saved
+a1/xd) 11.34 — first to beat 'fused'; v5 (node-level projections moved
+in-kernel, deleting 47 pa/pb boundary layout copies) 11.24 — the
+production form. Post-v5 tweaks that measured as regressions are noted
+in-line where they would otherwise look tempting.
 
 Used by ops/egnn.py aggregation='mega'. CPU/tests run interpret mode.
 Reference role: DGL EGNNConv's gSpMM message passing
@@ -106,32 +121,41 @@ def _gather(bundle, s, dtype):
         preferred_element_type=jnp.float32).astype(dtype)
 
 
-def _recompute_front(src_ref, dst_ref, mask_ref, ef_ref, ba_ref, bb_ref,
-                     w2_ref, wc1_ref, small_ref, *, hid: int):
-    """Shared fwd/bwd front half: one-hots, gathers, geometry, MLP chain."""
-    dtype = ba_ref.dtype
-    n = ba_ref.shape[1]
+def _mega_fwd_kernel(src_ref, dst_ref, mask_ref, ef_ref, h_ref, x_ref,
+                     w1ab_ref, w2_ref, wc1_ref, small_ref,
+                     out_ref, a1_ref, xd_ref, *, hid: int):
+    """One-hots, NODE-level L1 projections (trivial [N,F]@[F,H] dots — the
+    per-cell cost is ~2% of the gathers, and keeping them in-kernel means
+    no pa/pb node tensor and none of its Pallas-boundary layout copies
+    ever exist in HBM), gathers, geometry, MLP chain, aggregation."""
+    dtype = h_ref.dtype
+    n = h_ref.shape[1]
+    f = h_ref.shape[2]
     s_src, s_dst = _onehots(src_ref, dst_ref, mask_ref, n, dtype)
-    ga = _gather(ba_ref[0], s_src, dtype)                  # [H+3, T]
-    gb = _gather(bb_ref[0], s_dst, dtype)
-    xd = ga[hid:] - gb[hid:]                               # [3, T]
+    w1ab = w1ab_ref[...].astype(dtype)
+    h = h_ref[0]
+    pa = jax.lax.dot_general(                               # [N, H]
+        h, w1ab[:f], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dtype)
+    pb = jax.lax.dot_general(
+        h, w1ab[f:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dtype)
+    ga = _gather(pa, s_src, dtype)                          # [H, T]
+    gb = _gather(pb, s_dst, dtype)
+    # coordinates are consumed only as x_src - x_dst: one [3,T] dot
+    # against the DIFFERENCE of the one-hots. (Measured alternative: two
+    # separate [3,T] dots regressed the step ~0.1 ms — the extra dot
+    # setup outweighs the saved [N,T] VPU subtract.)
+    xd = _gather(x_ref[0], (s_src.astype(jnp.float32)
+                            - s_dst.astype(jnp.float32)).astype(dtype),
+                 dtype)                                     # [3, T]
     rad_b, radf, inv_s = _geometry(xd)
     smf = small_ref[...].astype(jnp.float32)
-    a1 = (ga[:hid].astype(jnp.float32) + gb[:hid].astype(jnp.float32)
+    a1 = (ga.astype(jnp.float32) + gb.astype(jnp.float32)
           + smf[:, _W1R:_W1R + 1] * rad_b.astype(jnp.float32)
           + smf[:, _W1E:_W1E + 1] * ef_ref[0].astype(jnp.float32)
           + smf[:, _B1:_B1 + 1])
     ch = _chain_from_a1(a1, w2_ref[...], wc1_ref[...], smf, dtype)
-    return s_src, s_dst, smf, xd, rad_b, radf, inv_s, ch
-
-
-def _mega_fwd_kernel(src_ref, dst_ref, mask_ref, ef_ref, ba_ref, bb_ref,
-                     w2_ref, wc1_ref, small_ref,
-                     out_ref, a1_ref, xd_ref, *, hid: int):
-    dtype = ba_ref.dtype
-    _, s_dst, _, xd, _, _, inv_s, ch = _recompute_front(
-        src_ref, dst_ref, mask_ref, ef_ref, ba_ref, bb_ref,
-        w2_ref, wc1_ref, small_ref, hid=hid)
     x_hat = xd.astype(jnp.float32) * inv_s
     msgx = (ch.cw.astype(dtype).astype(jnp.float32) * x_hat).astype(dtype)
     both = jnp.concatenate([ch.m, msgx], axis=0)           # [H+3, T]
@@ -210,6 +234,10 @@ def _tail_bwd_kernel(ef_ref, w2_ref, wc1_ref, small_ref,
         dwc1_ref[...] = jnp.zeros_like(dwc1_ref)
         dsmall_ref[...] = jnp.zeros_like(dsmall_ref)
 
+    # Six individual weight-grad dots. (Measured alternative: packing
+    # them into three one-panel dots via 128-row concat stacks regressed
+    # the step ~0.17 ms — the f32 concat builds on the VPU cost more than
+    # the saved MXU panel-passes.)
     def outerT(x, dy):
         return jax.lax.dot_general(
             x, dy, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -246,26 +274,27 @@ def _whole_spec(shp):
                         memory_space=pltpu.VMEM)
 
 
-def _prep(src, dst, emask, ef, bundle_a, hid, backward=True):
-    b, n, c = bundle_a.shape
+def _prep(src, dst, emask, ef, h, hid, backward=True):
+    b, n, f = h.shape
     e = src.shape[1]
     t = mega_pick_tile(e, n, hid, backward=backward)
     assert t, f"edge count {e} has no 128-multiple tile for mega"
     src3 = src.reshape(b, 1, e)
     dst3 = dst.reshape(b, 1, e)
-    mask3 = emask.reshape(b, 1, e).astype(bundle_a.dtype)
-    ef3 = jnp.swapaxes(ef, 1, 2).astype(bundle_a.dtype)    # [B, 1, E]
+    mask3 = emask.reshape(b, 1, e).astype(h.dtype)
+    ef3 = jnp.swapaxes(ef, 1, 2).astype(h.dtype)           # [B, 1, E]
     grid = (b, e // t)
     row = _row_spec(t)
-    return b, n, c, e, t, grid, src3, dst3, mask3, ef3, row
+    return b, n, f, e, t, grid, src3, dst3, mask3, ef3, row
 
 
-def _mega_fwd_call(src, dst, emask, ef, ba, bb, w2, wc1, small, interpret):
+def _mega_fwd_call(src, dst, emask, ef, h, x, w1ab, w2, wc1, small,
+                   interpret):
     hid = w2.shape[1]
-    b, n, c, e, t, grid, src3, dst3, mask3, ef3, row = _prep(
-        src, dst, emask, ef, ba, hid, backward=False)
-    in_specs = [row, row, row, row, _node_spec(n, c), _node_spec(n, c)] + [
-        _whole_spec(w.shape) for w in (w2, wc1, small)]
+    b, n, f, e, t, grid, src3, dst3, mask3, ef3, row = _prep(
+        src, dst, emask, ef, h, hid, backward=False)
+    in_specs = [row, row, row, row, _node_spec(n, f), _node_spec(n, 3)] + [
+        _whole_spec(w.shape) for w in (w1ab, w2, wc1, small)]
     return pl.pallas_call(
         functools.partial(_mega_fwd_kernel, hid=hid),
         grid=grid, in_specs=in_specs,
@@ -275,15 +304,17 @@ def _mega_fwd_call(src, dst, emask, ef, ba, bb, w2, wc1, small, interpret):
                    pl.BlockSpec((1, 3, t), lambda i, j: (i, 0, j),
                                 memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((b, n, hid + 3), jnp.float32),
-                   jax.ShapeDtypeStruct((b, hid, e), ba.dtype),
-                   jax.ShapeDtypeStruct((b, 3, e), ba.dtype)],
+                   jax.ShapeDtypeStruct((b, hid, e), h.dtype),
+                   jax.ShapeDtypeStruct((b, 3, e), h.dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(src3, dst3, mask3, ef3, ba, bb, w2, wc1, small)
+    )(src3, dst3, mask3, ef3, h, x, w1ab, w2, wc1, small)
 
 
 def _tail_bwd_call(ef, w2, wc1, small, a1, xd, d_both, interpret):
+    # (unchanged from the v4 hybrid: operates purely in edge space from
+    # the saved residuals; the node side is XLA in _edge_mega_bwd)
     hid = w2.shape[1]
     b, _, e = a1.shape
     # tail holds ~10 chain + ~6 grad [H,T]-class buffers: a bigger tile
@@ -335,39 +366,39 @@ def _tail_bwd_call(ef, w2, wc1, small, a1, xd, d_both, interpret):
 # public op with exact custom VJP
 # --------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
-def edge_mega(src, dst, emask, ef, bundle_a, bundle_b, w2, wc1, small,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10,))
+def edge_mega(src, dst, emask, ef, h, x, w1ab, w2, wc1, small,
               interpret: bool = False):
     """Full EGNN edge half-layer from raw indices (projection-first).
 
-    src/dst: [B,E] int32; emask: [B,E] bool; ef: [B,E,1];
-    bundle_a/bundle_b: [B,N,H+3] = (h @ W1a) ++ x and (h @ W1b) ++ x in
-    the compute dtype; w2/wc1/small: pallas_edge.pack_params layout
-    (w1ab is applied by the caller at node level and not passed).
+    src/dst: [B,E] int32; emask: [B,E] bool; ef: [B,E,1]; h: [B,N,F] node
+    features and x: [B,N,3] coordinates in the compute dtype;
+    w1ab/w2/wc1/small: pallas_edge.pack_params layout. The L1 projections
+    pa/pb = h @ W1a/W1b happen at node level INSIDE the forward kernel.
     Returns [B, N, H+3] f32: per-node sums of messages (rows 0..H-1) and
     coordinate messages (rows H..H+2) — h_agg ++ x_agg.
     """
-    return _mega_fwd_call(src, dst, emask, ef, bundle_a, bundle_b,
-                          w2, wc1, small, interpret)[0]
+    return _mega_fwd_call(src, dst, emask, ef, h, x, w1ab, w2, wc1, small,
+                          interpret)[0]
 
 
-def _edge_mega_fwd(src, dst, emask, ef, bundle_a, bundle_b, w2, wc1, small,
+def _edge_mega_fwd(src, dst, emask, ef, h, x, w1ab, w2, wc1, small,
                    interpret):
-    out, a1, xd = _mega_fwd_call(src, dst, emask, ef, bundle_a, bundle_b,
-                                 w2, wc1, small, interpret)
-    return out, (src, dst, emask, ef, bundle_a, bundle_b, w2, wc1, small,
-                 a1, xd)
+    out, a1, xd = _mega_fwd_call(src, dst, emask, ef, h, x, w1ab, w2, wc1,
+                                 small, interpret)
+    return out, (src, dst, emask, ef, h, x, w1ab, w2, wc1, small, a1, xd)
 
 
 def _edge_mega_bwd(interpret, res, g):
     """Hybrid backward: XLA one-hot einsums for the gather/aggregation
     transposes (they run at 60-76% MXU utilization with the one-hots
     rebuilt inside each fusion), one Pallas kernel for the edge-MLP tail
-    backward from the saved a1/xd residuals."""
-    src, dst, emask, ef, ba, bb, w2, wc1, small, a1, xd = res
-    dtype = ba.dtype
-    n = ba.shape[1]
-    hid = w2.shape[1]
+    backward from the saved a1/xd residuals. The L1 projection backward
+    (dW1a/dW1b and d_h) runs at NODE level in XLA."""
+    src, dst, emask, ef, h, x, w1ab, w2, wc1, small, a1, xd = res
+    dtype = h.dtype
+    n = h.shape[1]
+    f = h.shape[2]
     mk = emask.astype(dtype)[:, None, :]
     s_src = jax.nn.one_hot(src, n, dtype=dtype, axis=1) * mk   # [B,N,E]
     s_dst = jax.nn.one_hot(dst, n, dtype=dtype, axis=1) * mk
@@ -375,16 +406,28 @@ def _edge_mega_bwd(interpret, res, g):
                         preferred_element_type=jnp.float32).astype(dtype)
     d_a1, d_xd, def_, dw2, dwc1, dsmall = _tail_bwd_call(
         ef, w2, wc1, small, a1, xd, d_both, interpret)
-    d_ga = jnp.concatenate([d_a1, d_xd], axis=1)               # [B,H+3,E]
-    d_gb = jnp.concatenate([d_a1, -d_xd], axis=1)
-    dba = jnp.einsum("bne,bce->bnc", s_src, d_ga,
+    # gather transposes: node-space cotangents of the projections/coords
+    d_pa = jnp.einsum("bne,bce->bnc", s_src, d_a1,
+                      preferred_element_type=jnp.float32).astype(dtype)
+    d_pb = jnp.einsum("bne,bce->bnc", s_dst, d_a1,
+                      preferred_element_type=jnp.float32).astype(dtype)
+    d_x = jnp.einsum("bne,bce->bnc", s_src - s_dst, d_xd,
                      preferred_element_type=jnp.float32)
-    dbb = jnp.einsum("bne,bce->bnc", s_dst, d_gb,
-                     preferred_element_type=jnp.float32)
+    # L1 projection backward, node level (tiny [.,F]x[.,H] contractions)
+    w1 = w1ab.astype(dtype)
+    d_h = (jnp.einsum("bnh,fh->bnf", d_pa, w1[:f],
+                      preferred_element_type=jnp.float32)
+           + jnp.einsum("bnh,fh->bnf", d_pb, w1[f:],
+                        preferred_element_type=jnp.float32))
+    dw1a = jnp.einsum("bnf,bnh->fh", h, d_pa,
+                      preferred_element_type=jnp.float32)
+    dw1b = jnp.einsum("bnf,bnh->fh", h, d_pb,
+                      preferred_element_type=jnp.float32)
+    dw1ab = jnp.concatenate([dw1a, dw1b], axis=0)
     return (None, None, None, jnp.swapaxes(def_, 1, 2).astype(ef.dtype),
-            dba.astype(ba.dtype), dbb.astype(bb.dtype),
-            dw2.astype(w2.dtype), dwc1.astype(wc1.dtype),
-            dsmall.astype(small.dtype))
+            d_h.astype(h.dtype), d_x.astype(x.dtype),
+            dw1ab.astype(w1ab.dtype), dw2.astype(w2.dtype),
+            dwc1.astype(wc1.dtype), dsmall.astype(small.dtype))
 
 
 edge_mega.defvjp(_edge_mega_fwd, _edge_mega_bwd)
