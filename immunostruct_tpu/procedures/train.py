@@ -322,13 +322,20 @@ def resolve_scan_layers(config, spec: ModelSpec, steps_per_epoch: int) -> bool:
 
 
 def resolve_stack_twins(config) -> bool:
-    """Tri-state --stack-twins: True/False force; None = auto (on for TPU,
-    where the 2B-stacked comparative forward measured faster than two
-    B-sized twin passes — benchmarks/RESULTS.md round 3)."""
+    """Tri-state --stack-twins: True/False force; None = auto (OFF).
+
+    The 2B-stacked forward was expected to win on per-pass overhead
+    amortization, but the interleaved race (scripts/race_twins.py, round
+    3) measured it SLOWER than two B-sized twin passes under both kernel
+    paths (mega: 26.14 vs 24.90 ms/step; fused: 26.80 vs 25.37): the
+    per-step concatenation of the cancer/wt input pytrees re-copies the
+    whole batch through HBM — more bytes than the fixed overhead it
+    saves on this bandwidth-bound step. Kept as an explicit option; the
+    balance may flip for compute-bound configs (tiny E, big hidden)."""
     st = getattr(config, "stack_twins", None)
     if st is not None:
         return bool(st)
-    return jax.devices()[0].platform == "tpu"
+    return False
 
 
 def train_model(config, spec: ModelSpec, params: dict, train_pipe, val_pipe,
