@@ -112,9 +112,23 @@ def build_tables(workdir: str):
     return cancer_path, wt_path, iedb_path
 
 
-def build_structures(workdir: str, cancer_path: str, wt_path: str):
+def build_structures(workdir: str, cancer_path: str, wt_path: str,
+                     fold_mode: str = "unique"):
     """One self-featurized graph per unique REAL chain, keyed by the real
-    chain hash so the production join finds them."""
+    chain hash so the production join finds them.
+
+    fold_mode controls the synthetic fold seed per chain — the knob for
+    the structure-branch de-confounding experiment (VERDICT r2 item 4):
+      'unique'   (default) seed = hash(chain): every chain gets its own
+                 fold — a memorizable per-chain fingerprint;
+      'shared'   one constant seed: all chains share one fold family, so
+                 coordinates carry only length information and
+                 fingerprinting is impossible;
+      'permuted' seed = hash of a DIFFERENT chain (cyclic shift of the
+                 sorted chain list): folds stay per-chain-unique (the
+                 fingerprint channel survives) but carry no relationship
+                 to the chain's identity beyond that.
+    """
     from immunostruct_tpu.data.tables import (
         parse_property_tables_cancer_wt, expand_hla, get_hash,
     )
@@ -126,17 +140,28 @@ def build_structures(workdir: str, cancer_path: str, wt_path: str):
     mapper_c = expand_hla(combined["pep_pair_cancer"], hla_path)
     mapper_w = expand_hla(combined["pep_pair_wt"], hla_path)
 
-    pdb_dir = os.path.join(workdir, "pdbs")
-    os.makedirs(pdb_dir, exist_ok=True)
-    seen = set()
+    chains = {}
     for mapper in (mapper_c, mapper_w):
         for chain, key, pep in mapper.values():
-            if key in seen:
-                continue
-            seen.add(key)
-            write_chain_pdb(os.path.join(pdb_dir, f"Immuno{key}.pdb"), chain,
-                            seed=int(get_hash(chain)[:8], 16))
-    print(f"wrote {len(seen)} unique-chain PDBs")
+            chains.setdefault(key, chain)
+
+    ordered = sorted(chains)
+    if fold_mode == "permuted":
+        shift = {k: chains[ordered[(i + 1) % len(ordered)]]
+                 for i, k in enumerate(ordered)}
+        seed_of = lambda key: int(get_hash(shift[key])[:8], 16)
+    elif fold_mode == "shared":
+        seed_of = lambda key: 42
+    else:
+        assert fold_mode == "unique", fold_mode
+        seed_of = lambda key: int(get_hash(chains[key])[:8], 16)
+
+    pdb_dir = os.path.join(workdir, "pdbs")
+    os.makedirs(pdb_dir, exist_ok=True)
+    for key, chain in chains.items():
+        write_chain_pdb(os.path.join(pdb_dir, f"Immuno{key}.pdb"), chain,
+                        seed=seed_of(key))
+    print(f"wrote {len(chains)} unique-chain PDBs (fold_mode={fold_mode})")
 
     from immunostruct_tpu.featurize import featurize_directory
 
