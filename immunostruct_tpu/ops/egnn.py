@@ -383,11 +383,14 @@ def egnn_stack_apply(
 ) -> Tuple[jax.Array, jax.Array]:
     """Run the full conv stack, sharing the one-hot matrices across layers.
 
-    aggregation: 'auto' picks 'fused' on TPU — src/dst one-hots are
-    materialized ONCE and shared by all layers; gathers/aggregation run as
-    MXU einsums and the per-layer edge program runs in a fused Pallas
-    kernel (module docstring) — and 'scatter' elsewhere. 'onehot' is the
-    pure-XLA variant of the same one-hot formulation. 'onehot_remat' rebuilds the matrices inside
+    aggregation: 'auto' picks 'mega' on TPU (whole layer in one Pallas
+    kernel from the raw edge indices, falling back to 'fused' when the
+    shapes don't fit the mega kernel's VMEM model) and 'scatter'
+    elsewhere. 'fused' materializes src/dst one-hots ONCE, shares them
+    across layers, runs gathers/aggregation as MXU einsums and the
+    per-layer edge program in a fused Pallas kernel (module docstring).
+    'onehot' is the pure-XLA variant of the same one-hot formulation.
+    'onehot_remat' rebuilds the matrices inside
     each rematerialized layer (least temp HBM); 'pallas' uses the VMEM
     kernels (superseded on speed; see benchmarks/RESULTS.md).
 

@@ -52,9 +52,19 @@ ran at ~40% MXU util, worse than XLA's fused einsum transposes; v2
 forward so the backward skips the front recompute) 12.5; v4 (HYBRID
 backward: XLA one-hot einsum transposes + Pallas tail kernel from saved
 a1/xd) 11.34 — first to beat 'fused'; v5 (node-level projections moved
-in-kernel, deleting 47 pa/pb boundary layout copies) 11.24 — the
-production form. Post-v5 tweaks that measured as regressions are noted
-in-line where they would otherwise look tempting.
+in-kernel, deleting 47 pa/pb boundary layout copies) 11.24; v6
+(PRE-MASKED sentinel indices delete the mask operand and every [N,T]
+mask multiply from the kernels AND the XLA backward fusions, and the
+tail kernel emits ONE concatenated [d_a1 ; d_xd] cotangent so the
+backward runs two one-hot einsums instead of three) 11.36-vs-fused-11.57
+interleaved — the production form. v7 (BWD_INKERNEL_NODES: the whole
+backward in one kernel, one-hots + d_both + both gather transposes in
+VMEM, no XLA backward einsums at all) measured 13.1 vs v6's 11.5 in the
+same race — the in-kernel node-space dots lose to XLA's fused einsums
+AND the extra [N,T] buffers halve the edge tile; kept flag-gated as the
+measured negative result confirming the v1-v3 lesson at v6's layout.
+Post-v5 tweaks that measured as regressions are noted in-line where
+they would otherwise look tempting.
 
 Used by ops/egnn.py aggregation='mega'. CPU/tests run interpret mode.
 Reference role: DGL EGNNConv's gSpMM message passing
@@ -74,6 +84,19 @@ from immunostruct_tpu.ops.pallas_edge import (
     _chain_from_a1, _geometry, _silu_grad, _dot_noT,
     _W1R, _W1E, _B1, _WC2,
 )
+
+
+# Kernel micro-variant switches, read at TRACE time (scripts/
+# race_kernel_variants.py builds one jitted step per setting and races
+# them interleaved in one process). Defaults = measured-fastest config.
+ONEHOT_DIRECT_CAST = False  # bool compare -> dtype without f32 step
+DIFF_BF16 = True            # one-hot difference taken in the compute dtype
+BWD_STACKED = False         # gather transposes as ONE [2N]-row einsum
+                            # instead of separate src/dst einsums
+BWD_INKERNEL_NODES = False  # v7: tail kernel builds the one-hots in VMEM
+                            # and does d_both + both gather transposes
+                            # itself — no [B,C,E] cotangent ever in HBM,
+                            # no XLA backward einsums at all
 
 
 def mega_pick_tile(e: int, n: int, hid: int = 64,
@@ -98,20 +121,26 @@ def mega_pick_tile(e: int, n: int, hid: int = 64,
     return best
 
 
-def _onehots(src_ref, dst_ref, mask_ref, n: int, dtype):
-    """Masked src/dst one-hot tiles [N, T] built in VMEM from index rows.
+def _onehots(src_ref, dst_ref, n: int, dtype):
+    """Masked src/dst one-hot tiles [N, T] built in VMEM from PRE-MASKED
+    index rows (padded edges carry index N, which matches no iota row, so
+    the masking costs nothing here — no [N,T] mask multiply, no mask
+    operand DMA; the VPU passes over [N,T] are the forward kernel's
+    biggest non-dot cost).
 
-    Formulated as f32 arithmetic (compare -> f32 -> broadcast-multiply ->
-    cast) rather than a bf16 select: Mosaic cannot relayout the [N,T] i1
-    compare result into the (16,128) bf16 tiling a select would need
-    (measured compile failure: "Non-singleton logical dimension is
-    replicated in destination but not in source")."""
+    Formulated as f32 arithmetic (compare -> f32 -> cast) rather than a
+    bf16 select: Mosaic cannot relayout the [N,T] i1 compare result into
+    the (16,128) bf16 tiling a select would need (measured compile
+    failure: "Non-singleton logical dimension is replicated in
+    destination but not in source")."""
     t = src_ref.shape[-1]
     rows = jax.lax.broadcasted_iota(jnp.int32, (n, t), 0)
-    mask = mask_ref[0].astype(jnp.float32)                 # [1, T]
+    if ONEHOT_DIRECT_CAST:
+        return ((rows == src_ref[0]).astype(dtype),
+                (rows == dst_ref[0]).astype(dtype))
     s_src = (rows == src_ref[0]).astype(jnp.float32)       # [N, T] f32
     s_dst = (rows == dst_ref[0]).astype(jnp.float32)
-    return (s_src * mask).astype(dtype), (s_dst * mask).astype(dtype)
+    return s_src.astype(dtype), s_dst.astype(dtype)
 
 
 def _gather(bundle, s, dtype):
@@ -121,7 +150,7 @@ def _gather(bundle, s, dtype):
         preferred_element_type=jnp.float32).astype(dtype)
 
 
-def _mega_fwd_kernel(src_ref, dst_ref, mask_ref, ef_ref, h_ref, x_ref,
+def _mega_fwd_kernel(src_ref, dst_ref, ef_ref, h_ref, x_ref,
                      w1ab_ref, w2_ref, wc1_ref, small_ref,
                      out_ref, a1_ref, xd_ref, *, hid: int):
     """One-hots, NODE-level L1 projections (trivial [N,F]@[F,H] dots — the
@@ -131,7 +160,7 @@ def _mega_fwd_kernel(src_ref, dst_ref, mask_ref, ef_ref, h_ref, x_ref,
     dtype = h_ref.dtype
     n = h_ref.shape[1]
     f = h_ref.shape[2]
-    s_src, s_dst = _onehots(src_ref, dst_ref, mask_ref, n, dtype)
+    s_src, s_dst = _onehots(src_ref, dst_ref, n, dtype)
     w1ab = w1ab_ref[...].astype(dtype)
     h = h_ref[0]
     pa = jax.lax.dot_general(                               # [N, H]
@@ -146,9 +175,12 @@ def _mega_fwd_kernel(src_ref, dst_ref, mask_ref, ef_ref, h_ref, x_ref,
     # against the DIFFERENCE of the one-hots. (Measured alternative: two
     # separate [3,T] dots regressed the step ~0.1 ms — the extra dot
     # setup outweighs the saved [N,T] VPU subtract.)
-    xd = _gather(x_ref[0], (s_src.astype(jnp.float32)
-                            - s_dst.astype(jnp.float32)).astype(dtype),
-                 dtype)                                     # [3, T]
+    if DIFF_BF16:
+        sdiff = s_src - s_dst       # exact: one-hot values are {-1, 0, 1}
+    else:
+        sdiff = (s_src.astype(jnp.float32)
+                 - s_dst.astype(jnp.float32)).astype(dtype)
+    xd = _gather(x_ref[0], sdiff, dtype)                    # [3, T]
     rad_b, radf, inv_s = _geometry(xd)
     smf = small_ref[...].astype(jnp.float32)
     a1 = (ga.astype(jnp.float32) + gb.astype(jnp.float32)
@@ -169,16 +201,19 @@ def _mega_fwd_kernel(src_ref, dst_ref, mask_ref, ef_ref, h_ref, x_ref,
 
     @pl.when(pl.program_id(1) == 0)
     def _():
-        out_ref[0] = part
+        # single-edge-tile grids carry a bf16 out_ref (no cross-tile
+        # accumulation needed, half the aggregate's HBM bytes); multi-tile
+        # grids accumulate in f32 across revisits
+        out_ref[0] = part.astype(out_ref.dtype)
 
     @pl.when(pl.program_id(1) != 0)
     def _():
-        out_ref[0] += part
+        out_ref[0] += part.astype(out_ref.dtype)
 
 
 def _tail_bwd_kernel(ef_ref, w2_ref, wc1_ref, small_ref,
                      a1_ref, xd_ref, dout_ref,
-                     da1_ref, dxd_ref, def_ref,
+                     dcat_ref, def_ref,
                      dw2_ref, dwc1_ref, dsmall_ref, *, hid: int):
     """Backward of the edge-program TAIL only, from the saved residuals.
 
@@ -220,8 +255,13 @@ def _tail_bwd_kernel(ef_ref, w2_ref, wc1_ref, small_ref,
     d_rad = d_rad_chain + jnp.where(radf > 0, d_safe, 0.0)
     d_xd = (d_xhat * inv_s + 2.0 * xdf * d_rad).astype(dtype)
 
-    da1_ref[0] = d_a1
-    dxd_ref[0] = d_xd
+    # d_a1 and d_xd leave as ONE [H+3, T] tensor (slice stores, no VPU
+    # concat) so the caller's gather transposes read it in ONE pass per
+    # one-hot side — two C=H+3 einsums instead of three (d_pa, d_pb,
+    # d_x-over-(S_src-S_dst)), deleting a whole [B,N,E] one-hot-build +
+    # dot fusion from the backward.
+    dcat_ref[0, :hid] = d_a1
+    dcat_ref[0, hid:] = d_xd
     def_ref[0] = jnp.sum(smf[:, _W1E:_W1E + 1] * d_a1f, axis=0,
                          keepdims=True).astype(dtype)
 
@@ -238,6 +278,104 @@ def _tail_bwd_kernel(ef_ref, w2_ref, wc1_ref, small_ref,
     # them into three one-panel dots via 128-row concat stacks regressed
     # the step ~0.17 ms — the f32 concat builds on the VPU cost more than
     # the saved MXU panel-passes.)
+    def outerT(x, dy):
+        return jax.lax.dot_general(
+            x, dy, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    dw2_ref[...] += outerT(a1s, d_p2)
+    dwc1_ref[...] += outerT(m, d_p3)
+    ones = jnp.ones_like(d_cw)
+    lhs3 = jnp.concatenate([rad_b.astype(jnp.float32),
+                            ef.astype(jnp.float32), ones], axis=0)
+    d3 = outerT(d_a1f, lhs3)
+    db2 = outerT(d_p2.astype(jnp.float32), ones)
+    dbc1 = outerT(d_p3.astype(jnp.float32), ones)
+    dwc2 = outerT(c1.astype(jnp.float32), d_cw)
+    dsmall_ref[...] += jnp.concatenate([d3, db2, dbc1, dwc2], axis=1)
+
+
+def _tail_bwd_kernel_v7(src_ref, dst_ref, ef_ref, w2_ref, wc1_ref,
+                        small_ref, a1_ref, xd_ref, g_ref,
+                        dnodes_ref, def_ref,
+                        dw2_ref, dwc1_ref, dsmall_ref, *, hid: int):
+    """v7 tail backward: the WHOLE backward of the edge half-layer in one
+    kernel. Builds the one-hot tiles in VMEM (like the forward), computes
+    d_both = g^T S_dst itself, redoes the edge-MLP chain from the saved
+    a1/xd residuals, and contracts the [d_a1 ; d_xd] cotangent back to
+    node space through both one-hots — so no edge-space cotangent tensor
+    ([B,C,E] d_both / d_cat) ever exists in HBM and the backward has NO
+    XLA einsums left. Node cotangents accumulate f32 across edge tiles."""
+    dtype = a1_ref.dtype
+    n = g_ref.shape[1]
+    s_src, s_dst = _onehots(src_ref, dst_ref, n, dtype)     # [N, T]
+    g = g_ref[0]                                            # [N, H+3]
+    d_both = jax.lax.dot_general(                           # [H+3, T]
+        g, s_dst, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dtype)
+
+    xd = xd_ref[0]                                          # [3, T]
+    rad_b, radf, inv_s = _geometry(xd)
+    smf = small_ref[...].astype(jnp.float32)
+    ch = _chain_from_a1(a1_ref[0].astype(jnp.float32), w2_ref[...],
+                        wc1_ref[...], smf, dtype)
+    a1, s1, a1s, p2, s2, m, p3, s3, c1, cw = ch
+    ef = ef_ref[0]
+    xdf = xd.astype(jnp.float32)
+    x_hat = xdf * inv_s
+    cw_b = cw.astype(dtype).astype(jnp.float32)
+
+    d_m_in = d_both[:hid]
+    d_msgx = d_both[hid:].astype(jnp.float32)
+
+    d_cw = jnp.sum(d_msgx * x_hat, axis=0, keepdims=True)
+    d_xhat = d_msgx * cw_b
+    d_c1 = smf[:, _WC2:_WC2 + 1] * d_cw
+    d_p3 = (d_c1 * _silu_grad(p3, s3)).astype(dtype)
+    d_m = d_m_in.astype(jnp.float32) + _dot_noT(wc1_ref[...], d_p3, dtype)
+    d_p2 = (d_m * _silu_grad(p2, s2)).astype(dtype)
+    d_a1s = _dot_noT(w2_ref[...], d_p2, dtype)
+    d_a1 = (d_a1s * _silu_grad(a1, s1)).astype(dtype)
+    d_a1f = d_a1.astype(jnp.float32)
+
+    d_rad_chain = jnp.sum(smf[:, _W1R:_W1R + 1] * d_a1f, axis=0,
+                          keepdims=True)
+    sum_dxh_xd = jnp.sum(d_xhat * xdf, axis=0, keepdims=True)
+    sqrt_safe = jnp.sqrt(jnp.where(radf > 0, radf, 1.0))
+    d_safe = sum_dxh_xd * (-0.5) * inv_s * inv_s / sqrt_safe
+    d_rad = d_rad_chain + jnp.where(radf > 0, d_safe, 0.0)
+    d_xd = (d_xhat * inv_s + 2.0 * xdf * d_rad).astype(dtype)
+
+    # node-space contraction IN-KERNEL: d_nodes[src|dst] = S @ d_cat^T
+    d_cat = jnp.concatenate([d_a1, d_xd], axis=0)           # [H+3, T]
+    d_src = jax.lax.dot_general(                            # [N, H+3] f32
+        s_src, d_cat, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    d_dst = jax.lax.dot_general(
+        s_dst, d_cat, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    part = jnp.concatenate([d_src, d_dst], axis=1)          # [N, 2(H+3)]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dnodes_ref[0] = part
+
+    @pl.when(pl.program_id(1) != 0)
+    def _():
+        dnodes_ref[0] += part
+
+    def_ref[0] = jnp.sum(smf[:, _W1E:_W1E + 1] * d_a1f, axis=0,
+                         keepdims=True).astype(dtype)
+
+    # ---- weight grads: f32 accumulation in revisited output blocks ----
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        dwc1_ref[...] = jnp.zeros_like(dwc1_ref)
+        dsmall_ref[...] = jnp.zeros_like(dsmall_ref)
+
     def outerT(x, dy):
         return jax.lax.dot_general(
             x, dy, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -279,21 +417,24 @@ def _prep(src, dst, emask, ef, h, hid, backward=True):
     e = src.shape[1]
     t = mega_pick_tile(e, n, hid, backward=backward)
     assert t, f"edge count {e} has no 128-multiple tile for mega"
-    src3 = src.reshape(b, 1, e)
-    dst3 = dst.reshape(b, 1, e)
-    mask3 = emask.reshape(b, 1, e).astype(h.dtype)
+    # PRE-MASKED indices: padded edges point at virtual row N, which no
+    # iota row matches — the kernel builds mask-zeroed one-hots from the
+    # compare alone (no [N,T] mask multiply, no mask operand)
+    src3 = jnp.where(emask, src, n).reshape(b, 1, e)
+    dst3 = jnp.where(emask, dst, n).reshape(b, 1, e)
     ef3 = jnp.swapaxes(ef, 1, 2).astype(h.dtype)           # [B, 1, E]
     grid = (b, e // t)
     row = _row_spec(t)
-    return b, n, f, e, t, grid, src3, dst3, mask3, ef3, row
+    return b, n, f, e, t, grid, src3, dst3, ef3, row
 
 
 def _mega_fwd_call(src, dst, emask, ef, h, x, w1ab, w2, wc1, small,
                    interpret):
     hid = w2.shape[1]
-    b, n, f, e, t, grid, src3, dst3, mask3, ef3, row = _prep(
+    b, n, f, e, t, grid, src3, dst3, ef3, row = _prep(
         src, dst, emask, ef, h, hid, backward=False)
-    in_specs = [row, row, row, row, _node_spec(n, f), _node_spec(n, 3)] + [
+    out_dtype = h.dtype if e == t else jnp.float32
+    in_specs = [row, row, row, _node_spec(n, f), _node_spec(n, 3)] + [
         _whole_spec(w.shape) for w in (w1ab, w2, wc1, small)]
     return pl.pallas_call(
         functools.partial(_mega_fwd_kernel, hid=hid),
@@ -303,13 +444,13 @@ def _mega_fwd_call(src, dst, emask, ef, h, x, w1ab, w2, wc1, small,
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((1, 3, t), lambda i, j: (i, 0, j),
                                 memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((b, n, hid + 3), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((b, n, hid + 3), out_dtype),
                    jax.ShapeDtypeStruct((b, hid, e), h.dtype),
                    jax.ShapeDtypeStruct((b, 3, e), h.dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(src3, dst3, mask3, ef3, h, x, w1ab, w2, wc1, small)
+    )(src3, dst3, ef3, h, x, w1ab, w2, wc1, small)
 
 
 def _tail_bwd_call(ef, w2, wc1, small, a1, xd, d_both, interpret):
@@ -341,11 +482,10 @@ def _tail_bwd_call(ef, w2, wc1, small, a1, xd, d_both, interpret):
     ef3 = jnp.swapaxes(ef, 1, 2).astype(a1.dtype)
     in_specs = [row1] + [_whole_spec(w.shape) for w in (w2, wc1, small)] + [
         rowH, row3, rowC]
-    out_specs = [rowH, row3, row1] + [
+    out_specs = [rowC, row1] + [
         _whole_spec(w.shape) for w in (w2, wc1, small)]
     out_shape = [
-        jax.ShapeDtypeStruct((b, hid, e), a1.dtype),
-        jax.ShapeDtypeStruct((b, 3, e), a1.dtype),
+        jax.ShapeDtypeStruct((b, hid + 3, e), a1.dtype),
         jax.ShapeDtypeStruct((b, 1, e), a1.dtype),
         jax.ShapeDtypeStruct(w2.shape, jnp.float32),
         jax.ShapeDtypeStruct(wc1.shape, jnp.float32),
@@ -362,6 +502,57 @@ def _tail_bwd_call(ef, w2, wc1, small, a1, xd, d_both, interpret):
     )(ef3, w2, wc1, small, a1, xd, d_both)
 
 
+def _tail_bwd_call_v7(src, dst, emask, ef, w2, wc1, small, a1, xd, g,
+                      interpret):
+    """v7: one kernel for the whole edge-half backward (see kernel doc).
+    Returns (d_nodes [B,N,2(H+3)] f32, def_ [B,1,E], dw2, dwc1, dsmall)."""
+    hid = w2.shape[1]
+    b, _, e = a1.shape
+    n = g.shape[1]
+    c = hid + 3
+    # per-edge VMEM: the v4 tail's chain/grad buffers + two [N,T] bf16
+    # one-hots (4n B/edge) + the [C,T] d_both/d_cat temps
+    per_edge = 52 * max(hid, 8) + 10 * c + 4 * n + 4 * c
+    budget = 12 * 1024 * 1024 // per_edge
+    t = 0
+    cand = 128
+    while cand <= e:
+        if e % cand == 0 and cand <= budget:
+            t = cand
+        cand += 128
+    assert t, f"edge count {e} has no 128-multiple tile for mega tail v7"
+    grid = (b, e // t)
+    src3 = jnp.where(emask, src, n).reshape(b, 1, e)
+    dst3 = jnp.where(emask, dst, n).reshape(b, 1, e)
+    ef3 = jnp.swapaxes(ef, 1, 2).astype(a1.dtype)
+    row1 = pl.BlockSpec((1, 1, t), lambda i, j: (i, 0, j),
+                        memory_space=pltpu.VMEM)
+    rowH = pl.BlockSpec((1, hid, t), lambda i, j: (i, 0, j),
+                        memory_space=pltpu.VMEM)
+    row3 = pl.BlockSpec((1, 3, t), lambda i, j: (i, 0, j),
+                        memory_space=pltpu.VMEM)
+    in_specs = [row1, row1, row1] + [
+        _whole_spec(w.shape) for w in (w2, wc1, small)] + [
+        rowH, row3, _node_spec(n, c)]
+    out_specs = [_node_spec(n, 2 * c), row1] + [
+        _whole_spec(w.shape) for w in (w2, wc1, small)]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, n, 2 * c), jnp.float32),
+        jax.ShapeDtypeStruct((b, 1, e), a1.dtype),
+        jax.ShapeDtypeStruct(w2.shape, jnp.float32),
+        jax.ShapeDtypeStruct(wc1.shape, jnp.float32),
+        jax.ShapeDtypeStruct(small.shape, jnp.float32),
+    ]
+    return pl.pallas_call(
+        functools.partial(_tail_bwd_kernel_v7, hid=hid),
+        grid=grid, in_specs=in_specs,
+        out_specs=out_specs, out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(src3, dst3, ef3, w2, wc1, small, a1, xd, g)
+
+
 # --------------------------------------------------------------------------
 # public op with exact custom VJP
 # --------------------------------------------------------------------------
@@ -375,8 +566,10 @@ def edge_mega(src, dst, emask, ef, h, x, w1ab, w2, wc1, small,
     features and x: [B,N,3] coordinates in the compute dtype;
     w1ab/w2/wc1/small: pallas_edge.pack_params layout. The L1 projections
     pa/pb = h @ W1a/W1b happen at node level INSIDE the forward kernel.
-    Returns [B, N, H+3] f32: per-node sums of messages (rows 0..H-1) and
-    coordinate messages (rows H..H+2) — h_agg ++ x_agg.
+    Returns [B, N, H+3]: per-node sums of messages (rows 0..H-1) and
+    coordinate messages (rows H..H+2) — h_agg ++ x_agg. The dtype is f32
+    when the edge grid has multiple tiles (cross-tile accumulation),
+    h.dtype when a single tile covers E (the common production shape).
     """
     return _mega_fwd_call(src, dst, emask, ef, h, x, w1ab, w2, wc1, small,
                           interpret)[0]
@@ -399,21 +592,60 @@ def _edge_mega_bwd(interpret, res, g):
     dtype = h.dtype
     n = h.shape[1]
     f = h.shape[2]
-    mk = emask.astype(dtype)[:, None, :]
-    s_src = jax.nn.one_hot(src, n, dtype=dtype, axis=1) * mk   # [B,N,E]
-    s_dst = jax.nn.one_hot(dst, n, dtype=dtype, axis=1) * mk
+    hid = w2.shape[1]
+    if BWD_INKERNEL_NODES:
+        d_nodes, def_, dw2, dwc1, dsmall = _tail_bwd_call_v7(
+            src, dst, emask, ef, w2, wc1, small, a1, xd,
+            g.astype(dtype), interpret)
+        c = hid + 3
+        d_src, d_dst = d_nodes[..., :c], d_nodes[..., c:]
+        return _finish_node_grads(
+            d_src, d_dst, def_, dw2, dwc1, dsmall,
+            ef, h, x, w1ab, w2, wc1, small, hid, f, dtype)
+    # PRE-MASKED indices: a padded edge points at row -1, which no iota
+    # row matches, so the one-hots are mask-zeroed with no [B,N,E]
+    # multiply pass and no mask operand in any fusion (same trick as the
+    # kernels; -1 rather than N because the STACKED build below uses rows
+    # 0..2N-1 and a sentinel of N would collide with the dst half's row 0).
+    src_m = jnp.where(emask, src, -1)
+    dst_m = jnp.where(emask, dst, -1 - n)
+    s_dst = jax.nn.one_hot(dst_m, n, dtype=dtype, axis=1)      # [B,N,E]
     d_both = jnp.einsum("bne,bnc->bce", s_dst, g.astype(dtype),
                         preferred_element_type=jnp.float32).astype(dtype)
-    d_a1, d_xd, def_, dw2, dwc1, dsmall = _tail_bwd_call(
+    d_cat, def_, dw2, dwc1, dsmall = _tail_bwd_call(
         ef, w2, wc1, small, a1, xd, d_both, interpret)
-    # gather transposes: node-space cotangents of the projections/coords
-    d_pa = jnp.einsum("bne,bce->bnc", s_src, d_a1,
-                      preferred_element_type=jnp.float32).astype(dtype)
-    d_pb = jnp.einsum("bne,bce->bnc", s_dst, d_a1,
-                      preferred_element_type=jnp.float32).astype(dtype)
-    d_x = jnp.einsum("bne,bce->bnc", s_src - s_dst, d_xd,
-                     preferred_element_type=jnp.float32)
-    # L1 projection backward, node level (tiny [.,F]x[.,H] contractions)
+    # gather transposes: node-space cotangents of the projections/coords,
+    # from the tail kernel's CONCATENATED [d_a1 ; d_xd] output — read once
+    # per one-hot side (v5 ran three separate fusions: d_pa, d_pb, and
+    # d_x over (S_src − S_dst)).
+    if BWD_STACKED:
+        # ONE einsum over the [src ; dst] stacked one-hot (rows 0..N-1
+        # match src, rows N..2N-1 match dst)
+        rows2 = jnp.arange(2 * n, dtype=src.dtype)[None, :, None]
+        s_cat = jnp.logical_or(
+            rows2 == src_m[:, None, :],
+            rows2 == (dst_m + n)[:, None, :]).astype(dtype)
+        d_nodes = jnp.einsum("bme,bce->bmc", s_cat, d_cat,
+                             preferred_element_type=jnp.float32)
+        d_src, d_dst = d_nodes[:, :n], d_nodes[:, n:]      # [B,N,H+3]
+    else:
+        s_src = jax.nn.one_hot(src_m, n, dtype=dtype, axis=1)
+        d_src = jnp.einsum("bne,bce->bnc", s_src, d_cat,
+                           preferred_element_type=jnp.float32)
+        d_dst = jnp.einsum("bne,bce->bnc", s_dst, d_cat,
+                           preferred_element_type=jnp.float32)
+    return _finish_node_grads(d_src, d_dst, def_, dw2, dwc1, dsmall,
+                              ef, h, x, w1ab, w2, wc1, small, hid, f, dtype)
+
+
+def _finish_node_grads(d_src, d_dst, def_, dw2, dwc1, dsmall,
+                       ef, h, x, w1ab, w2, wc1, small, hid, f, dtype):
+    """Node-level finish shared by the hybrid and v7 backward paths:
+    L1 projection backward (tiny [.,F]x[.,H] contractions) + cotangent
+    packing into edge_mega's argument order."""
+    d_pa = d_src[..., :hid].astype(dtype)
+    d_pb = d_dst[..., :hid].astype(dtype)
+    d_x = d_src[..., hid:] - d_dst[..., hid:]
     w1 = w1ab.astype(dtype)
     d_h = (jnp.einsum("bnh,fh->bnf", d_pa, w1[:f],
                       preferred_element_type=jnp.float32)

@@ -1,0 +1,104 @@
+"""Race mega-kernel micro-variants (ops/pallas_mega.py module flags) in
+ONE process under the honest-measurement protocol (warm process, burn-in,
+interleaved windows, value-fetch barriers). Each variant sets the flags
+BEFORE building its Trainer, so its jitted step traces the corresponding
+kernel; 'fused' runs as the cross-session control.
+
+Usage: python scripts/race_kernel_variants.py [--edges 2560]
+       [--variants base,diff16,cast,stacked,fused] [--windows 3] [--steps 50]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.realpath(__file__))))
+
+from scripts.perf_sweep import build_batch  # noqa: E402
+from scripts.race_mega import make_trainer, warm_process  # noqa: E402
+
+# flag sets per variant name:
+# (ONEHOT_DIRECT_CAST, DIFF_BF16, BWD_STACKED, BWD_INKERNEL_NODES)
+VARIANTS = {
+    "base": (False, False, False, False),
+    "diff16": (False, True, False, False),
+    "cast": (True, True, False, False),
+    "stacked": (False, True, True, False),
+    "inkernel": (False, True, False, True),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--edges", type=int, default=2560)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--windows", type=int, default=3)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--burnin", type=int, default=25)
+    ap.add_argument("--variants", default="base,diff16,cast,stacked,fused")
+    args = ap.parse_args()
+
+    import jax
+    from immunostruct_tpu.ops import pallas_mega as pm
+
+    vae_dim = 284 * 21
+    batch = build_batch(args.batch, 288, args.edges, 284)
+    key = jax.random.key(1)
+
+    print(f"platform={jax.devices()[0].platform} edges={args.edges}",
+          file=sys.stderr)
+    warm_process()
+    print("process warmed", file=sys.stderr)
+
+    runs = {}
+    for v in args.variants.split(","):
+        if v == "fused":
+            agg = "fused"
+        else:
+            agg = "mega"
+            (pm.ONEHOT_DIRECT_CAST, pm.DIFF_BF16, pm.BWD_STACKED,
+             pm.BWD_INKERNEL_NODES) = VARIANTS[v]
+        t0 = time.perf_counter()
+        try:
+            trainer, state = make_trainer(agg, vae_dim)
+            state, loss = trainer._train_step(state, batch, key)
+            l0 = float(loss)
+        except Exception as exc:  # noqa: BLE001 - variant may not compile
+            print(f"{v}: FAILED to compile/run: {exc}", file=sys.stderr)
+            continue
+        print(f"{v}: compiled+first step in {time.perf_counter() - t0:.1f}s "
+              f"loss={l0:.4f}", file=sys.stderr)
+        runs[v] = {"trainer": trainer, "state": state, "loss0": l0,
+                   "windows_ms": []}
+
+    for v, r in runs.items():
+        for _ in range(args.burnin):
+            r["state"], loss = r["trainer"]._train_step(r["state"], batch, key)
+        float(loss)
+
+    for w in range(args.windows):
+        for v, r in runs.items():
+            t0 = time.perf_counter()
+            for _ in range(args.steps):
+                r["state"], loss = r["trainer"]._train_step(
+                    r["state"], batch, key)
+            float(loss)
+            ms = (time.perf_counter() - t0) / args.steps * 1e3
+            r["windows_ms"].append(round(ms, 3))
+            print(f"window {w} {v}: {ms:.2f} ms/step", file=sys.stderr)
+
+    out = {}
+    for v, r in runs.items():
+        ws = sorted(r["windows_ms"])
+        out[v] = {"windows_ms": r["windows_ms"],
+                  "p50_ms": ws[len(ws) // 2], "best_ms": ws[0],
+                  "loss0": round(r["loss0"], 6)}
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -103,6 +103,31 @@ def test_mega_fallback_on_unsupported_shapes():
     assert any("mega" in str(x.message) for x in w)
 
 
+def test_mega_inkernel_backward_matches():
+    """BWD_INKERNEL_NODES=True (v7: one-hots + d_both + gather transposes
+    inside the tail kernel, no XLA backward einsums) must produce the same
+    gradients as the hybrid default, including across multiple edge tiles
+    (node-cotangent accumulation over the inner grid axis)."""
+    from immunostruct_tpu.ops import pallas_mega as pm
+    saved = pm.BWD_INKERNEL_NODES
+    try:
+        for kwargs in ({}, dict(b=2, n=136, e=512, seed=7)):
+            params, *args = _toy(**kwargs)
+            pm.BWD_INKERNEL_NODES = False
+            l_hyb, g_hyb = jax.value_and_grad(_loss)(params, *args, "mega")
+            pm.BWD_INKERNEL_NODES = True
+            l_ink, g_ink = jax.value_and_grad(_loss)(params, *args, "mega")
+            np.testing.assert_allclose(float(l_ink), float(l_hyb),
+                                       rtol=1e-5, atol=1e-7)
+            ref_scale = max(float(jnp.max(jnp.abs(g)))
+                            for g in jax.tree.leaves(g_hyb))
+            for a, b in zip(jax.tree.leaves(g_hyb), jax.tree.leaves(g_ink)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=2e-3, atol=2e-3 * ref_scale)
+    finally:
+        pm.BWD_INKERNEL_NODES = saved
+
+
 def test_mega_bf16_close_to_f32():
     params, h, x, esrc, edst, efeat, emask = _toy(seed=13)
     cast = lambda t: jax.tree.map(
