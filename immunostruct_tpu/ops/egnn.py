@@ -254,10 +254,32 @@ def _egnn_apply_mega(params, h, x, edge_src, edge_dst, edge_feat, edge_mask):
     return _node_update(params, h, x, h_agg, x_agg)
 
 
+# Split the node MLP's first matmul into h @ W_top + agg @ W_bot instead
+# of concat([h, agg]) @ W. Hypothesis: the concat forces XLA to unify
+# the operands' layouts with a [B,N,F+H] copy per layer (6 copies,
+# ~53 MB/step in the compiled-HLO copy audit). MEASURED A TIE at bench
+# shapes (11.296 vs 11.298 ms interleaved) — the copies overlap with
+# kernel compute and are not on the critical path; default stays the
+# concat formulation (matches the reference's shape,
+# hybrid_models.py:29-31).
+NODE_SPLIT_DOT = False
+
+
 def _node_update(params, h, x, h_agg, x_agg):
     """Shared layer epilogue: h' = node_mlp([h ++ agg]); x' = x + x_agg."""
-    hn = jnp.concatenate([h, h_agg], axis=-1)
-    hn = linear_apply(params["node_mlp"][0], hn)
+    if NODE_SPLIT_DOT:
+        w0 = params["node_mlp"][0]
+        f = h.shape[-1]
+        hn = (jnp.dot(h, w0["w"][:f].astype(h.dtype),
+                      preferred_element_type=jnp.float32)
+              + jnp.dot(h_agg, w0["w"][f:].astype(h.dtype),
+                        preferred_element_type=jnp.float32))
+        if "b" in w0:
+            hn = hn + w0["b"].astype(jnp.float32)
+        hn = hn.astype(h.dtype)
+    else:
+        hn = jnp.concatenate([h, h_agg], axis=-1)
+        hn = linear_apply(params["node_mlp"][0], hn)
     hn = jax.nn.silu(hn)
     hn = linear_apply(params["node_mlp"][1], hn)
     return hn, x + x_agg
@@ -409,6 +431,18 @@ def egnn_stack_apply(
         aggregation = _mega_or_fallback(
             edge_dst, edge_feat, h.shape[1],
             layers[0]["edge_mlp"][1]["w"].shape[1])
+    if aggregation == "mega" and not scan_layers:
+        # whole-stack fast path: one kernel builds the one-hot tiles ONCE
+        # and runs every layer with h/x resident in VMEM — the per-layer
+        # rebuilds cost a measured 1.5 ms/step at bench shapes
+        # (ops/pallas_stack.py). Requires the edge set in one VMEM tile.
+        from immunostruct_tpu.ops.pallas_stack import (
+            apply_stack, stack_supported)
+        if stack_supported(edge_dst.shape[1], h.shape[1],
+                           layers[0]["edge_mlp"][1]["w"].shape[1],
+                           len(layers), edge_feat.shape[-1]):
+            return apply_stack(layers, h, x, edge_src, edge_dst,
+                               edge_feat, edge_mask, not _on_tpu())
     if aggregation == "fused":
         aggregation = _fused_or_fallback(
             edge_dst, edge_feat, layers[0]["edge_mlp"][1]["w"].shape[1])

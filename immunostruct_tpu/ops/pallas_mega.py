@@ -97,6 +97,17 @@ BWD_INKERNEL_NODES = False  # v7: tail kernel builds the one-hots in VMEM
                             # and does d_both + both gather transposes
                             # itself — no [B,C,E] cotangent ever in HBM,
                             # no XLA backward einsums at all
+BWD_DBOTH_INKERNEL = False  # v7a: tail kernel builds ONLY s_dst and
+                            # computes d_both itself (gather transposes
+                            # stay XLA einsums) — deletes the d_both
+                            # einsum and its [B,C,E] HBM round-trip
+                            # while keeping the single-tile VMEM budget
+ONEHOT_SKIP_PROBE = False   # TIMING PROBE ONLY (wrong numerics): replace
+                            # the [N,T] one-hot builds with a constant so
+                            # a race isolates the per-layer VPU build
+                            # cost — the signal that decides whether a
+                            # whole-stack kernel (build once, 6 layers)
+                            # is worth writing
 
 
 def mega_pick_tile(e: int, n: int, hid: int = 64,
@@ -134,6 +145,9 @@ def _onehots(src_ref, dst_ref, n: int, dtype):
     failure: "Non-singleton logical dimension is replicated in
     destination but not in source")."""
     t = src_ref.shape[-1]
+    if ONEHOT_SKIP_PROBE:
+        z = jnp.full((n, t), 0.001, dtype)
+        return z, z
     rows = jax.lax.broadcasted_iota(jnp.int32, (n, t), 0)
     if ONEHOT_DIRECT_CAST:
         return ((rows == src_ref[0]).astype(dtype),
@@ -221,6 +235,15 @@ def _tail_bwd_kernel(ef_ref, w2_ref, wc1_ref, small_ref,
     einsums in _edge_mega_bwd (measured 60-76% MXU utilization there vs
     ~40% for the same dots inside a kernel — the v1-v3 all-in-kernel
     backward variants lost to the hybrid, benchmarks/RESULTS.md)."""
+    _tail_bwd_core(ef_ref, w2_ref, wc1_ref, small_ref, a1_ref, xd_ref,
+                   dout_ref[0], dcat_ref, def_ref, dw2_ref, dwc1_ref,
+                   dsmall_ref, hid=hid)
+
+
+def _tail_bwd_core(ef_ref, w2_ref, wc1_ref, small_ref,
+                   a1_ref, xd_ref, d_both,
+                   dcat_ref, def_ref,
+                   dw2_ref, dwc1_ref, dsmall_ref, *, hid: int):
     dtype = a1_ref.dtype
     xd = xd_ref[0]                                          # [3, T]
     rad_b, radf, inv_s = _geometry(xd)
@@ -233,7 +256,6 @@ def _tail_bwd_kernel(ef_ref, w2_ref, wc1_ref, small_ref,
     x_hat = xdf * inv_s
     cw_b = cw.astype(dtype).astype(jnp.float32)
 
-    d_both = dout_ref[0]                                    # [H+3, T]
     d_m_in = d_both[:hid]
     d_msgx = d_both[hid:].astype(jnp.float32)
 
@@ -293,6 +315,29 @@ def _tail_bwd_kernel(ef_ref, w2_ref, wc1_ref, small_ref,
     dbc1 = outerT(d_p3.astype(jnp.float32), ones)
     dwc2 = outerT(c1.astype(jnp.float32), d_cw)
     dsmall_ref[...] += jnp.concatenate([d3, db2, dbc1, dwc2], axis=1)
+
+
+def _tail_bwd_kernel_db(dst_ref, ef_ref, w2_ref, wc1_ref, small_ref,
+                        a1_ref, xd_ref, g_ref,
+                        dcat_ref, def_ref,
+                        dw2_ref, dwc1_ref, dsmall_ref, *, hid: int):
+    """v7a tail backward: like _tail_bwd_kernel, but the aggregation
+    transpose d_both = g^T S_dst happens IN-KERNEL from the raw dst
+    indices (one one-hot build) instead of arriving as a precomputed
+    [B,C,E] operand — the d_both einsum and its HBM round-trip vanish
+    while the gather transposes stay XLA einsums (the measured-fastest
+    hybrid split)."""
+    dtype = a1_ref.dtype
+    n = g_ref.shape[1]
+    t = dst_ref.shape[-1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, t), 0)
+    s_dst = ((rows == dst_ref[0]).astype(jnp.float32)).astype(dtype)
+    d_both = jax.lax.dot_general(                           # [H+3, T]
+        g_ref[0], s_dst, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dtype)
+    _tail_bwd_core(ef_ref, w2_ref, wc1_ref, small_ref, a1_ref, xd_ref,
+                   d_both, dcat_ref, def_ref, dw2_ref, dwc1_ref,
+                   dsmall_ref, hid=hid)
 
 
 def _tail_bwd_kernel_v7(src_ref, dst_ref, ef_ref, w2_ref, wc1_ref,
@@ -502,6 +547,58 @@ def _tail_bwd_call(ef, w2, wc1, small, a1, xd, d_both, interpret):
     )(ef3, w2, wc1, small, a1, xd, d_both)
 
 
+def _tail_bwd_call_db(dst, emask, ef, w2, wc1, small, a1, xd, g,
+                      interpret):
+    """v7a: tail backward with the in-kernel aggregation transpose.
+    g: [B,N,H+3] node-space cotangent of the aggregate (compute dtype).
+    Returns (d_cat [B,H+3,E], def_ [B,1,E], dw2, dwc1, dsmall)."""
+    hid = w2.shape[1]
+    b, _, e = a1.shape
+    n = g.shape[1]
+    c = hid + 3
+    # the v4 tail's buffers + one [N,T] bf16 one-hot (2n B/edge)
+    per_edge = 52 * max(hid, 8) + 10 * c + 2 * n
+    budget = 12 * 1024 * 1024 // per_edge
+    t = 0
+    cand = 128
+    while cand <= e:
+        if e % cand == 0 and cand <= budget:
+            t = cand
+        cand += 128
+    assert t, f"edge count {e} has no 128-multiple tile for mega tail db"
+    grid = (b, e // t)
+    dst3 = jnp.where(emask, dst, n).reshape(b, 1, e)
+    ef3 = jnp.swapaxes(ef, 1, 2).astype(a1.dtype)
+    row1 = pl.BlockSpec((1, 1, t), lambda i, j: (i, 0, j),
+                        memory_space=pltpu.VMEM)
+    rowH = pl.BlockSpec((1, hid, t), lambda i, j: (i, 0, j),
+                        memory_space=pltpu.VMEM)
+    row3 = pl.BlockSpec((1, 3, t), lambda i, j: (i, 0, j),
+                        memory_space=pltpu.VMEM)
+    rowC = pl.BlockSpec((1, c, t), lambda i, j: (i, 0, j),
+                        memory_space=pltpu.VMEM)
+    in_specs = [row1, row1] + [
+        _whole_spec(w.shape) for w in (w2, wc1, small)] + [
+        rowH, row3, _node_spec(n, c)]
+    out_specs = [rowC, row1] + [
+        _whole_spec(w.shape) for w in (w2, wc1, small)]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, c, e), a1.dtype),
+        jax.ShapeDtypeStruct((b, 1, e), a1.dtype),
+        jax.ShapeDtypeStruct(w2.shape, jnp.float32),
+        jax.ShapeDtypeStruct(wc1.shape, jnp.float32),
+        jax.ShapeDtypeStruct(small.shape, jnp.float32),
+    ]
+    return pl.pallas_call(
+        functools.partial(_tail_bwd_kernel_db, hid=hid),
+        grid=grid, in_specs=in_specs,
+        out_specs=out_specs, out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(dst3, ef3, w2, wc1, small, a1, xd, g)
+
+
 def _tail_bwd_call_v7(src, dst, emask, ef, w2, wc1, small, a1, xd, g,
                       interpret):
     """v7: one kernel for the whole edge-half backward (see kernel doc).
@@ -583,12 +680,26 @@ def _edge_mega_fwd(src, dst, emask, ef, h, x, w1ab, w2, wc1, small,
 
 
 def _edge_mega_bwd(interpret, res, g):
-    """Hybrid backward: XLA one-hot einsums for the gather/aggregation
-    transposes (they run at 60-76% MXU utilization with the one-hots
-    rebuilt inside each fusion), one Pallas kernel for the edge-MLP tail
-    backward from the saved a1/xd residuals. The L1 projection backward
-    (dW1a/dW1b and d_h) runs at NODE level in XLA."""
     src, dst, emask, ef, h, x, w1ab, w2, wc1, small, a1, xd = res
+    d_ef, d_h, d_x, dw1ab, dw2, dwc1, dsmall = _edge_half_bwd(
+        src, dst, emask, ef, h, x, w1ab, w2, wc1, small, a1, xd, g,
+        interpret)
+    return (None, None, None, d_ef.astype(ef.dtype),
+            d_h.astype(h.dtype), d_x.astype(x.dtype),
+            dw1ab.astype(w1ab.dtype), dw2.astype(w2.dtype),
+            dwc1.astype(wc1.dtype), dsmall.astype(small.dtype))
+
+
+def _edge_half_bwd(src, dst, emask, ef, h, x, w1ab, w2, wc1, small,
+                   a1, xd, g, interpret):
+    """Hybrid backward of one edge half-layer: XLA one-hot einsums for
+    the gather/aggregation transposes (they run at 60-76% MXU utilization
+    with the one-hots rebuilt inside each fusion), one Pallas kernel for
+    the edge-MLP tail backward from the saved a1/xd residuals. The L1
+    projection backward (dW1a/dW1b and d_h) runs at NODE level in XLA.
+    Shared by edge_mega's VJP and the whole-stack kernel's per-layer
+    backward (ops/pallas_stack.py). Returns
+    (d_ef [B,E,1], d_h, d_x, dw1ab, dw2, dwc1, dsmall)."""
     dtype = h.dtype
     n = h.shape[1]
     f = h.shape[2]
@@ -610,10 +721,15 @@ def _edge_mega_bwd(interpret, res, g):
     src_m = jnp.where(emask, src, -1)
     dst_m = jnp.where(emask, dst, -1 - n)
     s_dst = jax.nn.one_hot(dst_m, n, dtype=dtype, axis=1)      # [B,N,E]
-    d_both = jnp.einsum("bne,bnc->bce", s_dst, g.astype(dtype),
-                        preferred_element_type=jnp.float32).astype(dtype)
-    d_cat, def_, dw2, dwc1, dsmall = _tail_bwd_call(
-        ef, w2, wc1, small, a1, xd, d_both, interpret)
+    if BWD_DBOTH_INKERNEL:
+        d_cat, def_, dw2, dwc1, dsmall = _tail_bwd_call_db(
+            dst, emask, ef, w2, wc1, small, a1, xd, g.astype(dtype),
+            interpret)
+    else:
+        d_both = jnp.einsum("bne,bnc->bce", s_dst, g.astype(dtype),
+                            preferred_element_type=jnp.float32).astype(dtype)
+        d_cat, def_, dw2, dwc1, dsmall = _tail_bwd_call(
+            ef, w2, wc1, small, a1, xd, d_both, interpret)
     # gather transposes: node-space cotangents of the projections/coords,
     # from the tail kernel's CONCATENATED [d_a1 ; d_xd] output — read once
     # per one-hot side (v5 ran three separate fusions: d_pa, d_pb, and
@@ -641,8 +757,7 @@ def _edge_mega_bwd(interpret, res, g):
 def _finish_node_grads(d_src, d_dst, def_, dw2, dwc1, dsmall,
                        ef, h, x, w1ab, w2, wc1, small, hid, f, dtype):
     """Node-level finish shared by the hybrid and v7 backward paths:
-    L1 projection backward (tiny [.,F]x[.,H] contractions) + cotangent
-    packing into edge_mega's argument order."""
+    L1 projection backward (tiny [.,F]x[.,H] contractions)."""
     d_pa = d_src[..., :hid].astype(dtype)
     d_pb = d_dst[..., :hid].astype(dtype)
     d_x = d_src[..., hid:] - d_dst[..., hid:]
@@ -656,10 +771,7 @@ def _finish_node_grads(d_src, d_dst, def_, dw2, dwc1, dsmall,
     dw1b = jnp.einsum("bnf,bnh->fh", h, d_pb,
                       preferred_element_type=jnp.float32)
     dw1ab = jnp.concatenate([dw1a, dw1b], axis=0)
-    return (None, None, None, jnp.swapaxes(def_, 1, 2).astype(ef.dtype),
-            d_h.astype(h.dtype), d_x.astype(x.dtype),
-            dw1ab.astype(w1ab.dtype), dw2.astype(w2.dtype),
-            dwc1.astype(wc1.dtype), dsmall.astype(small.dtype))
+    return (jnp.swapaxes(def_, 1, 2), d_h, d_x, dw1ab, dw2, dwc1, dsmall)
 
 
 edge_mega.defvjp(_edge_mega_fwd, _edge_mega_bwd)

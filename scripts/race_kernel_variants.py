@@ -29,7 +29,24 @@ VARIANTS = {
     "cast": (True, True, False, False),
     "stacked": (False, True, True, False),
     "inkernel": (False, True, False, True),
+    "dboth": (False, True, False, False),
+    "concat": (False, True, False, False),
 }
+
+
+def set_flags(pm, v):
+    from immunostruct_tpu.ops import pallas_stack as pstk
+    (pm.ONEHOT_DIRECT_CAST, pm.DIFF_BF16, pm.BWD_STACKED,
+     pm.BWD_INKERNEL_NODES) = VARIANTS.get(v, VARIANTS["diff16"])
+    pm.ONEHOT_SKIP_PROBE = v == "skipprobe"
+    pm.BWD_DBOTH_INKERNEL = v == "dboth"
+    # 'concat' = pre-split node MLP (concat formulation); everything
+    # else uses the split-dot default (egnn.NODE_SPLIT_DOT)
+    from immunostruct_tpu.ops import egnn as _eg
+    _eg.NODE_SPLIT_DOT = v != "concat"
+    # 'stack' = whole-stack kernel (ops/pallas_stack.py); every other
+    # mega variant forces the per-layer kernel
+    pstk.STACK_ENABLE = v == "stack"
 
 
 def main():
@@ -60,8 +77,7 @@ def main():
             agg = "fused"
         else:
             agg = "mega"
-            (pm.ONEHOT_DIRECT_CAST, pm.DIFF_BF16, pm.BWD_STACKED,
-             pm.BWD_INKERNEL_NODES) = VARIANTS[v]
+            set_flags(pm, v)
         t0 = time.perf_counter()
         try:
             trainer, state = make_trainer(agg, vae_dim)

@@ -128,6 +128,30 @@ def test_mega_inkernel_backward_matches():
         pm.BWD_INKERNEL_NODES = saved
 
 
+def test_mega_dboth_inkernel_backward_matches():
+    """BWD_DBOTH_INKERNEL=True (v7a: the aggregation transpose d_both
+    computed inside the tail kernel from raw dst indices) must produce
+    the same gradients as the einsum default."""
+    from immunostruct_tpu.ops import pallas_mega as pm
+    saved = pm.BWD_DBOTH_INKERNEL
+    try:
+        for kwargs in ({}, dict(b=2, n=136, e=512, seed=7)):
+            params, *args = _toy(**kwargs)
+            pm.BWD_DBOTH_INKERNEL = False
+            l_ein, g_ein = jax.value_and_grad(_loss)(params, *args, "mega")
+            pm.BWD_DBOTH_INKERNEL = True
+            l_db, g_db = jax.value_and_grad(_loss)(params, *args, "mega")
+            np.testing.assert_allclose(float(l_db), float(l_ein),
+                                       rtol=1e-5, atol=1e-7)
+            ref_scale = max(float(jnp.max(jnp.abs(g)))
+                            for g in jax.tree.leaves(g_ein))
+            for a, b in zip(jax.tree.leaves(g_ein), jax.tree.leaves(g_db)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=2e-3, atol=2e-3 * ref_scale)
+    finally:
+        pm.BWD_DBOTH_INKERNEL = saved
+
+
 def test_mega_bf16_close_to_f32():
     params, h, x, esrc, edst, efeat, emask = _toy(seed=13)
     cast = lambda t: jax.tree.map(
