@@ -1,0 +1,75 @@
+"""Run the canonical train_IEDB_wFT recipe at several seeds and summarize.
+
+RESULTS.md's seed-variance section (the 'unique'-arm re-runs) showed the
+40+40-epoch recipe's run-to-run spread is ~±0.05 test AUROC with
+occasional near-collapse runs — so any AUROC claim needs 3+ seeds. This
+script makes that protocol one command for any model on the real-table
+corpus built by scripts/realdata_e2e.py / scripts/structure_control.py.
+
+Usage: python scripts/seed_sweep.py --model SequenceFpModel
+         [--seeds 1,2,3] [--epochs 40] [--workdir /tmp/structure_control]
+Prints one JSON line: per-seed test metrics + median/min/max.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.realpath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="SequenceFpModel")
+    ap.add_argument("--seeds", default="1,2,3")
+    ap.add_argument("--epochs", type=int, default=40)
+    ap.add_argument("--batch-size", type=int, default=128)
+    ap.add_argument("--workdir", default="/tmp/structure_control",
+                    help="realdata workdir holding iedb.tsv + unique/graphs")
+    args = ap.parse_args()
+
+    iedb_path = os.path.join(args.workdir, "iedb.tsv")
+    graph_dir = os.path.join(args.workdir, "unique", "graphs")
+    hla_path = "/root/reference/data/HLA_27_seqs_csv.csv"
+    if not (os.path.isfile(iedb_path) and os.path.isdir(graph_dir)):
+        sys.exit(f"real-table corpus not found under {args.workdir}; "
+                 "run scripts/structure_control.py (or realdata_e2e.py) first")
+
+    from immunostruct_tpu.cli.train_IEDB_wFT import main as train_main
+
+    per_seed = {}
+    for seed in [int(s) for s in args.seeds.split(",")]:
+        train_stats, test_stats = train_main([
+            "--model", args.model,
+            "--num-epochs", str(args.epochs),
+            "--batch-size", str(args.batch_size),
+            "--seed", str(seed),
+            "--sequence-loss",
+            "--model-save-dir", os.path.join(args.workdir,
+                                             f"seed{seed}_{args.model}"),
+            "--graph-dir-IEDB", graph_dir,
+            "--property-path-IEDB", iedb_path,
+            "--hla-path", hla_path,
+        ])
+        per_seed[seed] = {
+            "test_roc_auc": round(test_stats["roc_auc"], 4),
+            "test_pr_auc": round(test_stats["pr_auc"], 4),
+            "train_roc_auc": round(train_stats["roc_auc"], 4),
+        }
+        print(f"seed {seed}: test AUROC {per_seed[seed]['test_roc_auc']}",
+              file=sys.stderr)
+
+    aucs = sorted(v["test_roc_auc"] for v in per_seed.values())
+    print(json.dumps({
+        "model": args.model, "epochs": args.epochs,
+        "per_seed": per_seed,
+        "test_roc_auc_median": aucs[len(aucs) // 2],
+        "test_roc_auc_min": aucs[0], "test_roc_auc_max": aucs[-1],
+    }))
+
+
+if __name__ == "__main__":
+    main()
