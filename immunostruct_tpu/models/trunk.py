@@ -292,6 +292,15 @@ def forward_item(params: dict, spec: ModelSpec, graph: Optional[GraphBatch],
     Returns (embedding, recon, mu, logvar, attn_weights). ``embedding`` is
     [pool | z_vae] — the per-item fused vector (comparative_models.py:87-115).
     """
+    if aggregation == "auto" and deterministic:
+        # Forward-only (inference / eval): the mega kernel's win is a
+        # TRAINING economy (2 saved residuals + hybrid backward); with no
+        # backward, XLA's fully-fused one-hot einsums are fastest —
+        # measured 4.13 ('onehot') vs 4.27 ('fused') vs 5.01 ('mega')
+        # ms/fwd at bench shapes, interleaved (benchmarks/RESULTS.md).
+        from immunostruct_tpu.ops.egnn import _on_tpu
+        if _on_tpu():
+            aggregation = "onehot"
     k_eps, k_drop = jax.random.split(rng)
 
     pooled, attn_w, recon, mu, logvar = None, None, None, None, None

@@ -208,3 +208,33 @@ def test_stack_twins_train_mode_finite_and_close(batch):
     assert np.isfinite(np.asarray(logits2)).all()
     np.testing.assert_allclose(np.asarray(out_c2.mu), np.asarray(out_c.mu),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_auto_resolves_to_onehot_for_deterministic_forward(monkeypatch):
+    """Forward-only 'auto' must resolve to the pure-XLA 'onehot' path on
+    TPU (measured fastest for inference — mega's win is a training-only
+    residual economy, benchmarks/RESULTS.md). Simulated here by patching
+    the TPU probe: if the resolution regressed to 'mega', the un-
+    interpreted pallas_call would fail on CPU; numerics must match
+    scatter."""
+    import numpy as np
+    from immunostruct_tpu.models import build_model
+    from immunostruct_tpu.models.trunk import model_apply
+    from immunostruct_tpu.ops import egnn as eg
+
+    rng = np.random.default_rng(5)
+    graph = tiny_graph_batch(rng)
+    seq = jnp.asarray(rng.random((B, L, 21)).astype(np.float32))
+    props = jnp.asarray(rng.random((B, 2)).astype(np.float32))
+    spec, params = build_model("HybridModelv2", VAE_DIM, jax.random.key(0))
+
+    monkeypatch.setattr(eg, "_on_tpu", lambda: True)
+    import immunostruct_tpu.models.trunk  # resolution imports _on_tpu lazily
+    out_auto = model_apply(params, spec, graph, seq, props, jax.random.key(7),
+                           deterministic=True, aggregation="auto")
+    out_scatter = model_apply(params, spec, graph, seq, props,
+                              jax.random.key(7), deterministic=True,
+                              aggregation="scatter")
+    np.testing.assert_allclose(np.asarray(out_auto.logits),
+                               np.asarray(out_scatter.logits),
+                               rtol=5e-4, atol=5e-5)
