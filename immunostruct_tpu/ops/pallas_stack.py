@@ -59,7 +59,7 @@ from immunostruct_tpu.ops.pallas_edge import (
     _W1R, _W1E, _B1,
 )
 from immunostruct_tpu.ops.pallas_mega import (
-    _onehots, _gather, _edge_half_bwd, _node_spec,
+    _onehots, _gather, _edge_half_bwd,
 )
 
 

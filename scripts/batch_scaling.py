@@ -64,10 +64,12 @@ def main():
                           "b": b, "windows_ms": []}
 
     for name, r in runs.items():
+        loss = None
         for _ in range(args.burnin):
             r["state"], loss = r["trainer"]._train_step(
                 r["state"], r["batch"], key)
-        float(loss)
+        if loss is not None:
+            float(loss)  # value-fetch barrier ending the burn-in
 
     for w in range(args.windows):
         for name, r in runs.items():

@@ -6,6 +6,13 @@ kernel; 'fused' runs as the cross-session control.
 
 Usage: python scripts/race_kernel_variants.py [--edges 2560]
        [--variants base,diff16,cast,stacked,fused] [--windows 3] [--steps 50]
+
+Variant names (see VARIANTS + set_flags): base / diff16 / cast / stacked
+(mega one-hot + backward-einsum micro-forms), inkernel (v7 whole-backward
+kernel), dboth (v7a aggregation-transpose-in-kernel), stack (whole-stack
+kernel, ops/pallas_stack.py), split / concat (node-MLP first-matmul
+formulations), skipprobe (TIMING ONLY, wrong numerics: one-hot builds
+replaced by a constant), fused (the pallas_edge control).
 """
 
 from __future__ import annotations
@@ -30,20 +37,24 @@ VARIANTS = {
     "stacked": (False, True, True, False),
     "inkernel": (False, True, False, True),
     "dboth": (False, True, False, False),
+    "split": (False, True, False, False),
     "concat": (False, True, False, False),
 }
 
 
 def set_flags(pm, v):
+    """Reset EVERY raceable flag to the production default, then apply the
+    variant's deviation — called for every variant including 'fused', so
+    no variant inherits another's globals (order-independence)."""
+    from immunostruct_tpu.ops import egnn as _eg
     from immunostruct_tpu.ops import pallas_stack as pstk
     (pm.ONEHOT_DIRECT_CAST, pm.DIFF_BF16, pm.BWD_STACKED,
      pm.BWD_INKERNEL_NODES) = VARIANTS.get(v, VARIANTS["diff16"])
     pm.ONEHOT_SKIP_PROBE = v == "skipprobe"
     pm.BWD_DBOTH_INKERNEL = v == "dboth"
-    # 'concat' = pre-split node MLP (concat formulation); everything
-    # else uses the split-dot default (egnn.NODE_SPLIT_DOT)
-    from immunostruct_tpu.ops import egnn as _eg
-    _eg.NODE_SPLIT_DOT = v != "concat"
+    pstk.STACK_ENABLE = v == "stack"
+    # production default is the concat node MLP (egnn.NODE_SPLIT_DOT doc)
+    _eg.NODE_SPLIT_DOT = v == "split"
     # 'stack' = whole-stack kernel (ops/pallas_stack.py); every other
     # mega variant forces the per-layer kernel
     pstk.STACK_ENABLE = v == "stack"
@@ -73,11 +84,8 @@ def main():
 
     runs = {}
     for v in args.variants.split(","):
-        if v == "fused":
-            agg = "fused"
-        else:
-            agg = "mega"
-            set_flags(pm, v)
+        agg = "fused" if v == "fused" else "mega"
+        set_flags(pm, v)
         t0 = time.perf_counter()
         try:
             trainer, state = make_trainer(agg, vae_dim)
@@ -92,9 +100,11 @@ def main():
                    "windows_ms": []}
 
     for v, r in runs.items():
+        loss = None
         for _ in range(args.burnin):
             r["state"], loss = r["trainer"]._train_step(r["state"], batch, key)
-        float(loss)
+        if loss is not None:
+            float(loss)  # value-fetch barrier ending the burn-in
 
     for w in range(args.windows):
         for v, r in runs.items():

@@ -8,6 +8,8 @@ corpus built by scripts/realdata_e2e.py / scripts/structure_control.py.
 
 Usage: python scripts/seed_sweep.py --model SequenceFpModel
          [--seeds 1,2,3] [--epochs 40] [--workdir /tmp/structure_control]
+       python scripts/seed_sweep.py --recipe cancer --epochs 60
+         [--workdir /tmp/realdata]    # flagship 3-stage curriculum
 Prints one JSON line: per-seed test metrics + median/min/max.
 """
 
@@ -21,39 +23,86 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.realpath(__file__))))
 
 
+HLA_PATH = "/root/reference/data/HLA_27_seqs_csv.csv"
+
+
+def _run_iedb(args, seed):
+    iedb_path = os.path.join(args.workdir, "iedb.tsv")
+    graph_dir = os.path.join(args.workdir, "unique", "graphs")
+    if not (os.path.isfile(iedb_path) and os.path.isdir(graph_dir)):
+        sys.exit(f"real-table corpus not found under {args.workdir}; "
+                 "run scripts/structure_control.py (or realdata_e2e.py) first")
+    from immunostruct_tpu.cli.train_IEDB_wFT import main as train_main
+    return train_main([
+        "--model", args.model,
+        "--num-epochs", str(args.epochs),
+        "--batch-size", str(args.batch_size),
+        "--seed", str(seed),
+        "--sequence-loss",
+        "--model-save-dir", os.path.join(args.workdir,
+                                         f"seed{seed}_{args.model}"),
+        "--graph-dir-IEDB", graph_dir,
+        "--property-path-IEDB", iedb_path,
+        "--hla-path", HLA_PATH,
+    ])
+
+
+def _run_cancer(args, seed):
+    """Flagship 3-stage curriculum on the realdata_e2e.py corpus."""
+    graph_dir = os.path.join(args.workdir, "graphs")
+    iedb_path = os.path.join(args.workdir, "iedb.tsv")
+    cancer_path = os.path.join(args.workdir, "cancer.tsv")
+    wt_path = os.path.join(args.workdir, "wildtype.tsv")
+    missing = [p for p in (graph_dir, iedb_path, cancer_path, wt_path)
+               if not os.path.exists(p)]
+    if missing:
+        sys.exit(f"real-table corpus incomplete under {args.workdir} "
+                 f"(missing {missing}); run scripts/realdata_e2e.py first")
+    from immunostruct_tpu.cli.train_Cancer_wFT import main as train_main
+    return train_main([
+        "--model", "HybridModelv2_Comparative",
+        "--use-wt-for-downstream",
+        "--coeff-contrastive", "0.1",
+        "--num-epochs", str(args.epochs),
+        "--batch-size", str(args.batch_size),
+        "--seed", str(seed),
+        "--sequence-loss",
+        "--skip-clinical",
+        "--model-save-dir", os.path.join(args.workdir, f"seed{seed}_ckpt"),
+        "--figure-save-dir", os.path.join(args.workdir, f"seed{seed}_figs"),
+        "--graph-dir-IEDB", graph_dir,
+        "--graph-dir-cancer", graph_dir,
+        "--graph-dir-wildtype", graph_dir,
+        "--property-path-IEDB", iedb_path,
+        "--property-path-cancer", cancer_path,
+        "--property-path-wildtype", wt_path,
+        "--hla-path", HLA_PATH,
+    ])
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--recipe", default="iedb", choices=["iedb", "cancer"])
     ap.add_argument("--model", default="SequenceFpModel")
     ap.add_argument("--seeds", default="1,2,3")
     ap.add_argument("--epochs", type=int, default=40)
     ap.add_argument("--batch-size", type=int, default=128)
-    ap.add_argument("--workdir", default="/tmp/structure_control",
-                    help="realdata workdir holding iedb.tsv + unique/graphs")
+    ap.add_argument("--workdir", default=None)
     args = ap.parse_args()
-
-    iedb_path = os.path.join(args.workdir, "iedb.tsv")
-    graph_dir = os.path.join(args.workdir, "unique", "graphs")
-    hla_path = "/root/reference/data/HLA_27_seqs_csv.csv"
-    if not (os.path.isfile(iedb_path) and os.path.isdir(graph_dir)):
-        sys.exit(f"real-table corpus not found under {args.workdir}; "
-                 "run scripts/structure_control.py (or realdata_e2e.py) first")
-
-    from immunostruct_tpu.cli.train_IEDB_wFT import main as train_main
+    if args.workdir is None:
+        args.workdir = ("/tmp/realdata" if args.recipe == "cancer"
+                        else "/tmp/structure_control")
+    if args.recipe == "cancer" and args.model != "SequenceFpModel":
+        sys.exit("--recipe cancer always trains HybridModelv2_Comparative "
+                 "(the flagship curriculum); --model applies to the iedb "
+                 "recipe only")
 
     per_seed = {}
     for seed in [int(s) for s in args.seeds.split(",")]:
-        train_stats, test_stats = train_main([
-            "--model", args.model,
-            "--num-epochs", str(args.epochs),
-            "--batch-size", str(args.batch_size),
-            "--seed", str(seed),
-            "--sequence-loss",
-            "--model-save-dir", os.path.join(args.workdir,
-                                             f"seed{seed}_{args.model}"),
-            "--graph-dir-IEDB", graph_dir,
-            "--property-path-IEDB", iedb_path,
-            "--hla-path", hla_path,
-        ])
+        if args.recipe == "cancer":
+            train_stats, test_stats = _run_cancer(args, seed)
+        else:
+            train_stats, test_stats = _run_iedb(args, seed)
         per_seed[seed] = {
             "test_roc_auc": round(test_stats["roc_auc"], 4),
             "test_pr_auc": round(test_stats["pr_auc"], 4),
@@ -64,7 +113,10 @@ def main():
 
     aucs = sorted(v["test_roc_auc"] for v in per_seed.values())
     print(json.dumps({
-        "model": args.model, "epochs": args.epochs,
+        "recipe": args.recipe,
+        "model": ("HybridModelv2_Comparative" if args.recipe == "cancer"
+                  else args.model),
+        "epochs": args.epochs,
         "per_seed": per_seed,
         "test_roc_auc_median": aucs[len(aucs) // 2],
         "test_roc_auc_min": aucs[0], "test_roc_auc_max": aucs[-1],

@@ -69,11 +69,14 @@ def test_mega_grad_wrt_inputs_matches():
 
 def test_mega_multi_tile_accumulation():
     """E spanning several tiles: per-tile partial aggregates must sum
-    exactly (revisited-output accumulation across the inner grid axis)."""
-    params, *args = _toy(b=2, n=136, e=512, seed=7)
+    exactly (revisited-output accumulation across the inner grid axis,
+    and the f32 multi-tile out_dtype switch in _mega_fwd_call). At
+    (n=136, e=3456) the fwd tile is 1152 — genuinely 3 tiles (an
+    earlier version of this test used e=512, which the budget covers in
+    ONE tile, silently skipping the accumulate branch)."""
+    params, *args = _toy(b=2, n=136, e=3456, seed=7)
     n = 136
-    assert mega_pick_tile(512, n) in (128, 256, 512)
-    # force multiple tiles by checking against a tile-count-independent path
+    assert 0 < mega_pick_tile(3456, n, backward=False) < 3456
     l_one, g_one = jax.value_and_grad(_loss)(params, *args, "onehot")
     l_mega, g_mega = jax.value_and_grad(_loss)(params, *args, "mega")
     np.testing.assert_allclose(float(l_mega), float(l_one),
@@ -111,7 +114,9 @@ def test_mega_inkernel_backward_matches():
     from immunostruct_tpu.ops import pallas_mega as pm
     saved = pm.BWD_INKERNEL_NODES
     try:
-        for kwargs in ({}, dict(b=2, n=136, e=512, seed=7)):
+        # second case: e=3456 puts the v7 tail at tile 1728 = 2 tiles,
+        # exercising the cross-tile node-cotangent accumulation branch
+        for kwargs in ({}, dict(b=2, n=136, e=3456, seed=7)):
             params, *args = _toy(**kwargs)
             pm.BWD_INKERNEL_NODES = False
             l_hyb, g_hyb = jax.value_and_grad(_loss)(params, *args, "mega")
@@ -135,7 +140,8 @@ def test_mega_dboth_inkernel_backward_matches():
     from immunostruct_tpu.ops import pallas_mega as pm
     saved = pm.BWD_DBOTH_INKERNEL
     try:
-        for kwargs in ({}, dict(b=2, n=136, e=512, seed=7)):
+        # e=3456: the db tail tile is 1728 = 2 tiles (multi-tile d_both)
+        for kwargs in ({}, dict(b=2, n=136, e=3456, seed=7)):
             params, *args = _toy(**kwargs)
             pm.BWD_DBOTH_INKERNEL = False
             l_ein, g_ein = jax.value_and_grad(_loss)(params, *args, "mega")
