@@ -1,0 +1,282 @@
+"""Executed-reference MODEL parity: run the reference's own torch model
+code (`immunostruct/models/{layers,hybrid_models}.py`) against this repo.
+
+The reference model files import dgl/torch_geometric only for EGNNConv and
+global_mean_pool; with those two stubbed, every other component — the
+attention layers, the VAE encoder/decoder, the property embedding, the
+fusion attention, the classifier, and the whole post-GCN forward — is the
+reference's OWN executable code. These tests copy weights between the two
+frameworks and compare outputs, upgrading the model-parity evidence class
+from "torch re-derivation" (tests/test_torch_full_model.py) to
+"executed reference" for everything except the DGL conv itself
+(dgl is absent from this environment; the conv's parity is pinned by the
+re-derivation tests and the all-matmul formulation proofs).
+
+The full-forward test replaces the reference's 6 EGNNConv instances with
+seeded linear projections and monkeypatches this repo's conv stack with
+the SAME projections, so both sides run their complete real forward
+(attention -> pool -> property -> VAE -> fusion -> classifier) around an
+identical stand-in conv.
+
+Reference: /root/reference/immunostruct/models/hybrid_models.py:315-359,
+/root/reference/immunostruct/models/layers.py.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from tests.test_reference_executed import REF_ROOT, _ensure_pkg, _load
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_ROOT), reason="reference checkout not present")
+
+B, N, HID = 3, 6, 64
+VAE_DIM = 284 * 21
+
+
+@pytest.fixture(scope="module")
+def refm():
+    """Executed reference model modules (EGNNConv / global_mean_pool
+    stubbed at import; everything else is real reference code)."""
+    if "dgl.nn" not in sys.modules:
+        dgl = sys.modules.setdefault("dgl", types.ModuleType("dgl"))
+        dgl_nn = types.ModuleType("dgl.nn")
+
+        class _StubEGNNConv(torch.nn.Module):
+            """Stand-in conv: seeded linear projection of node features
+            (coords passed through). Only used by the full-forward test;
+            dims mirror EGNNConv(in_size, hidden, out_size, edge_size)."""
+
+            def __init__(self, in_size, hidden_size, out_size, edge_size):
+                super().__init__()
+                self.proj = torch.nn.Linear(in_size, out_size, bias=False)
+
+            def forward(self, graph, node_feat, coord_feat, edge_feat):
+                return self.proj(node_feat), coord_feat
+
+        dgl_nn.EGNNConv = _StubEGNNConv
+        sys.modules["dgl.nn"] = dgl_nn
+        dgl.nn = dgl_nn
+    if "torch_geometric.nn" not in sys.modules:
+        tg = types.ModuleType("torch_geometric")
+        tg_nn = types.ModuleType("torch_geometric.nn")
+
+        def global_mean_pool(x, batch):
+            num = int(batch.max().item()) + 1
+            out = torch.zeros(num, x.shape[1], dtype=x.dtype)
+            out.index_add_(0, batch, x)
+            counts = torch.bincount(batch, minlength=num).clamp(min=1)
+            return out / counts[:, None].to(x.dtype)
+
+        tg_nn.global_mean_pool = global_mean_pool
+        sys.modules["torch_geometric"] = tg
+        sys.modules["torch_geometric.nn"] = tg_nn
+        tg.nn = tg_nn
+
+    _ensure_pkg("refimmuno", REF_ROOT)
+    _ensure_pkg("refimmuno.models", os.path.join(REF_ROOT, "models"))
+    ns = types.SimpleNamespace()
+    ns.layers = _load("refimmuno.models.layers",
+                      os.path.join(REF_ROOT, "models", "layers.py"))
+    ns.hybrid = _load("refimmuno.models.hybrid_models",
+                      os.path.join(REF_ROOT, "models", "hybrid_models.py"))
+    return ns
+
+
+def copy_linear(t_linear, ours: dict):
+    """torch Linear weight [out,in] <- our {w: [in,out], b: [out]}."""
+    with torch.no_grad():
+        t_linear.weight.copy_(torch.tensor(np.asarray(ours["w"]).T))
+        if t_linear.bias is not None:
+            t_linear.bias.copy_(torch.tensor(np.asarray(ours["b"])))
+
+
+def copy_mha(t_mha, ours: dict):
+    copy_linear(t_mha.w_q, ours["w_q"])
+    copy_linear(t_mha.w_k, ours["w_k"])
+    copy_linear(t_mha.w_v, ours["w_v"])
+    copy_linear(t_mha.w_concat, ours["w_concat"])
+
+
+def test_self_attention_executed(refm):
+    from immunostruct_tpu.ops.attention import (
+        self_attention_init, self_attention_apply)
+    params = self_attention_init(jax.random.key(0), HID)
+    ref = refm.layers.SelfAttention(HID)
+    copy_linear(ref.query, params["query"])
+    copy_linear(ref.key, params["key"])
+    copy_linear(ref.value, params["value"])
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((B, N, HID)).astype(np.float32)
+    ours_out, ours_w = self_attention_apply(params, jnp.asarray(x))
+    with torch.no_grad():
+        ref_out, ref_w = ref(torch.tensor(x))
+    np.testing.assert_allclose(np.asarray(ours_out), ref_out.numpy(),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(ours_w), ref_w.numpy(),
+                               rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("feature_dim,n_head,input_dim,masked", [
+    (HID, 4, None, False),
+    (16, 8, 1, False),      # the combined-attention fusion configuration
+    (HID, 2, None, True),   # -10000 mask fill (layers.py:39-40)
+])
+def test_mha_executed(refm, feature_dim, n_head, input_dim, masked):
+    from immunostruct_tpu.ops.attention import mha_init, mha_apply
+    params = mha_init(jax.random.key(1), feature_dim, n_head,
+                      input_dim=input_dim)
+    ref = refm.layers.MultiHeadAttention(feature_dim, n_head,
+                                         input_dim=input_dim)
+    copy_mha(ref, params)
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((B, N, input_dim or feature_dim)).astype(np.float32)
+    mask = None
+    t_mask = None
+    if masked:
+        m = rng.random((B, 1, N, N)) > 0.3
+        mask = jnp.asarray(m)
+        t_mask = torch.tensor(m)
+    ours_out, _ = mha_apply(params, jnp.asarray(x), n_head=n_head, mask=mask)
+    with torch.no_grad():
+        ref_out, _ = ref(torch.tensor(x), mask=t_mask)
+    np.testing.assert_allclose(np.asarray(ours_out), ref_out.numpy(),
+                               rtol=2e-5, atol=2e-6)
+
+
+@pytest.fixture(scope="module")
+def paired_models(refm):
+    """A reference HybridModelv2 and this repo's HybridModelv2 with
+    IDENTICAL weights everywhere (conv stack = the same seeded
+    projections on both sides)."""
+    from immunostruct_tpu.models import build_model
+    spec, params = build_model("HybridModelv2", VAE_DIM, jax.random.key(3))
+    torch.manual_seed(0)
+    ref = refm.hybrid.HybridModelv2(VAE_DIM, device="cpu")
+    ref.eval()
+
+    copy_mha(ref.self_attention, params["node_attn"])
+    for name in ("fc1", "fc21", "fc22", "fc3", "fc4"):
+        copy_linear(getattr(ref, f"vae_{name}"), params["vae"][name])
+    copy_linear(ref.property_embedding[0], params["property_embedding"][0])
+    copy_linear(ref.property_embedding[3], params["property_embedding"][1])
+    copy_mha(ref.combined_attention, params["combined_attention"])
+    copy_linear(ref.classifier[1], params["classifier"]["trunk"])
+    copy_linear(ref.classifier[4], params["classifier"]["out"])
+
+    # shared stand-in conv stack: copy the torch stubs' seeded projections
+    # into arrays for this repo's side
+    projs = [np.asarray(layer.proj.weight.detach().numpy().T)
+             for layer in ref.GCN_layers]
+    return spec, params, ref, projs
+
+
+def test_vae_branch_executed(paired_models):
+    from immunostruct_tpu.models.trunk import _vae_encode, _vae_decode
+    spec, params, ref, _ = paired_models
+    rng = np.random.default_rng(2)
+    seq = rng.random((B, VAE_DIM)).astype(np.float32)
+    mu, logvar = _vae_encode(params["vae"], jnp.asarray(seq))
+    with torch.no_grad():
+        ref_mu, ref_logvar = ref.encode_vae(torch.tensor(seq))
+    np.testing.assert_allclose(np.asarray(mu), ref_mu.numpy(),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(logvar), ref_logvar.numpy(),
+                               rtol=2e-5, atol=2e-5)
+
+    z = rng.standard_normal((B, 32 + 8)).astype(np.float32)
+    recon = _vae_decode(params["vae"], jnp.asarray(z))
+    with torch.no_grad():
+        ref_recon = ref.decode_vae(torch.tensor(z))
+    np.testing.assert_allclose(np.asarray(recon), ref_recon.numpy(),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_property_branch_executed(paired_models):
+    from immunostruct_tpu.models.trunk import _property_branch
+    spec, params, ref, _ = paired_models
+    rng = np.random.default_rng(3)
+    props = rng.random((B, 2)).astype(np.float32)
+    ours = _property_branch(params["property_embedding"], jnp.asarray(props),
+                            jax.random.key(0), deterministic=True,
+                            rate=spec.dropout_rate)
+    with torch.no_grad():
+        theirs = ref.property_embedding(torch.tensor(props))
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_full_forward_executed(paired_models, monkeypatch):
+    """The COMPLETE HybridModelv2 forward on both sides around the shared
+    stand-in conv: reference's own attention/pool/property/VAE/fusion/
+    classifier code vs this repo's, same weights, z = mu (both
+    reparameterizations pinned to the mean so PRNGs don't diverge)."""
+    from immunostruct_tpu.models.trunk import model_apply
+    import immunostruct_tpu.models.trunk as trunk
+    from immunostruct_tpu.structs import GraphBatch
+
+    spec, params, ref, projs = paired_models
+    rng = np.random.default_rng(4)
+    onehot = np.zeros((B, N, 20), np.float32)
+    onehot[np.arange(B)[:, None], np.arange(N)[None, :],
+           rng.integers(0, 20, (B, N))] = 1.0
+    coords = rng.standard_normal((B, N, 3)).astype(np.float32)
+    seq = rng.random((B, 284, 21)).astype(np.float32)
+    props = rng.random((B, 2)).astype(np.float32)
+
+    # --- reference side: batched-graph stand-in (uniform node counts,
+    # matching its batch_tensor construction at hybrid_models.py:335-338)
+    graph = types.SimpleNamespace(
+        ndata={"x": torch.tensor(
+            np.concatenate([onehot, np.zeros((B, N, 2), np.float32)],
+                           axis=-1).reshape(B * N, 22))},
+        edata={"edge_attr": torch.zeros(0, 1)},
+        batch_num_nodes=lambda: [N] * B,
+        device="cpu",
+    )
+    ref.reparameterize = lambda mu, logvar: mu
+    with torch.no_grad():
+        ref_recon, ref_mu, ref_logvar, ref_logits = ref(
+            graph, torch.tensor(seq.reshape(B, -1)), torch.tensor(props))
+
+    # --- this repo's side: same projections as the conv stack
+    def fake_stack(layers, h, x, *args, **kwargs):
+        for p in projs:
+            h = h @ jnp.asarray(p, h.dtype)
+        return h, x
+
+    monkeypatch.setattr(trunk, "egnn_stack_apply", fake_stack)
+    monkeypatch.setattr(trunk, "_reparameterize", lambda key, mu, lv: mu)
+    gb = GraphBatch(
+        node_feat=jnp.asarray(onehot), coords=jnp.asarray(coords),
+        edge_src=jnp.zeros((B, 1), jnp.int32),
+        edge_dst=jnp.zeros((B, 1), jnp.int32),
+        edge_feat=jnp.zeros((B, 1, 1)), edge_mask=jnp.zeros((B, 1), bool),
+        node_mask=jnp.ones((B, N), bool),
+        num_nodes=jnp.full((B,), N, jnp.int32),
+    )
+    out = model_apply(params, spec, gb, jnp.asarray(seq), jnp.asarray(props),
+                      jax.random.key(7), deterministic=True,
+                      aggregation="scatter")
+
+    np.testing.assert_allclose(np.asarray(out.mu), ref_mu.numpy(),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.logvar), ref_logvar.numpy(),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.recon), ref_recon.numpy(),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.logits), ref_logits.numpy(),
+                               rtol=2e-4, atol=2e-4)
