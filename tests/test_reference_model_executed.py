@@ -79,18 +79,36 @@ def refm():
             counts = torch.bincount(batch, minlength=num).clamp(min=1)
             return out / counts[:, None].to(x.dtype)
 
+        def global_max_pool(x, batch):
+            num = int(batch.max().item()) + 1
+            out = torch.full((num, x.shape[1]), -torch.inf, dtype=x.dtype)
+            for i in range(num):
+                out[i] = x[batch == i].max(dim=0).values
+            return out
+
         tg_nn.global_mean_pool = global_mean_pool
+        tg_nn.global_max_pool = global_max_pool
         sys.modules["torch_geometric"] = tg
         sys.modules["torch_geometric.nn"] = tg_nn
         tg.nn = tg_nn
 
-    _ensure_pkg("refimmuno", REF_ROOT)
-    _ensure_pkg("refimmuno.models", os.path.join(REF_ROOT, "models"))
+    # the reference's mapping.py uses ABSOLUTE `from models.x import *`
+    # imports (it runs with the repo root on sys.path), so the package is
+    # registered under the name its own code expects
+    _ensure_pkg("models", os.path.join(REF_ROOT, "models"))
     ns = types.SimpleNamespace()
-    ns.layers = _load("refimmuno.models.layers",
+    ns.layers = _load("models.layers",
                       os.path.join(REF_ROOT, "models", "layers.py"))
-    ns.hybrid = _load("refimmuno.models.hybrid_models",
+    ns.hybrid = _load("models.hybrid_models",
                       os.path.join(REF_ROOT, "models", "hybrid_models.py"))
+    ns.comparative = _load("models.comparative_models",
+                           os.path.join(REF_ROOT, "models",
+                                        "comparative_models.py"))
+    ns.ablation = _load("models.ablation_models",
+                        os.path.join(REF_ROOT, "models",
+                                     "ablation_models.py"))
+    ns.mapping = _load("models.mapping",
+                       os.path.join(REF_ROOT, "models", "mapping.py"))
     return ns
 
 
@@ -279,4 +297,101 @@ def test_full_forward_executed(paired_models, monkeypatch):
     np.testing.assert_allclose(np.asarray(out.recon), ref_recon.numpy(),
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(out.logits), ref_logits.numpy(),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_registry_names_match_executed(refm):
+    """Our zoo registry covers exactly the reference's model_map keys
+    (models/mapping.py, executed)."""
+    from immunostruct_tpu.models.zoo import model_map
+    assert sorted(model_map) == sorted(refm.mapping.model_map)
+
+
+def test_comparative_full_forward_executed(refm, monkeypatch):
+    """The flagship HybridModelv2_Comparative's forward_comparative
+    (reference's own executed code) vs model_apply_comparative: twin
+    inputs, shared weights, shared stand-in conv, z = mu."""
+    from immunostruct_tpu.models import build_model
+    from immunostruct_tpu.models.trunk import model_apply_comparative
+    import immunostruct_tpu.models.trunk as trunk
+    from immunostruct_tpu.structs import GraphBatch
+
+    spec, params = build_model("HybridModelv2_Comparative", VAE_DIM,
+                               jax.random.key(9))
+    assert spec.use_wt_for_downstream
+    torch.manual_seed(1)
+    ref = refm.comparative.HybridModelv2_Comparative(VAE_DIM, device="cpu")
+    ref.eval()
+    copy_mha(ref.self_attention, params["node_attn"])
+    for name in ("fc1", "fc21", "fc22", "fc3", "fc4"):
+        copy_linear(getattr(ref, f"vae_{name}"), params["vae"][name])
+    copy_linear(ref.property_embedding[0], params["property_embedding"][0])
+    copy_linear(ref.property_embedding[3], params["property_embedding"][1])
+    copy_mha(ref.combined_attention, params["combined_attention"])
+    copy_linear(ref.classifier[1], params["classifier"]["trunk"])
+    copy_linear(ref.classifier[4], params["classifier"]["out"])
+    projs = [np.asarray(layer.proj.weight.detach().numpy().T)
+             for layer in ref.GCN_layers]
+
+    rng = np.random.default_rng(6)
+
+    def side(seed_shift):
+        onehot = np.zeros((B, N, 20), np.float32)
+        onehot[np.arange(B)[:, None], np.arange(N)[None, :],
+               rng.integers(0, 20, (B, N))] = 1.0
+        coords = rng.standard_normal((B, N, 3)).astype(np.float32)
+        seq = rng.random((B, 284, 21)).astype(np.float32)
+        props = rng.random((B, 2)).astype(np.float32)
+        graph = types.SimpleNamespace(
+            ndata={"x": torch.tensor(np.concatenate(
+                [onehot, np.zeros((B, N, 2), np.float32)],
+                axis=-1).reshape(B * N, 22))},
+            edata={"edge_attr": torch.zeros(0, 1)},
+            batch_num_nodes=lambda: [N] * B,
+            device="cpu",
+        )
+        gb = GraphBatch(
+            node_feat=jnp.asarray(onehot), coords=jnp.asarray(coords),
+            edge_src=jnp.zeros((B, 1), jnp.int32),
+            edge_dst=jnp.zeros((B, 1), jnp.int32),
+            edge_feat=jnp.zeros((B, 1, 1)),
+            edge_mask=jnp.zeros((B, 1), bool),
+            node_mask=jnp.ones((B, N), bool),
+            num_nodes=jnp.full((B,), N, jnp.int32),
+        )
+        return onehot, coords, seq, props, graph, gb
+
+    c = side(0)
+    w = side(1)
+    ref.reparameterize = lambda mu, logvar: mu
+    with torch.no_grad():
+        ref_emb, ref_recons, ref_mus, ref_logvars, ref_logits = \
+            ref.forward_comparative(
+                (c[4], w[4]),
+                (torch.tensor(c[2].reshape(B, -1)),
+                 torch.tensor(w[2].reshape(B, -1))),
+                (torch.tensor(c[3]), torch.tensor(w[3])))
+
+    def fake_stack(layers, h, x, *args, **kwargs):
+        for p in projs:
+            h = h @ jnp.asarray(p, h.dtype)
+        return h, x
+
+    monkeypatch.setattr(trunk, "egnn_stack_apply", fake_stack)
+    monkeypatch.setattr(trunk, "_reparameterize", lambda key, mu, lv: mu)
+    out_c, out_w, logits = model_apply_comparative(
+        params, spec, (c[5], w[5]),
+        (jnp.asarray(c[2]), jnp.asarray(w[2])),
+        (jnp.asarray(c[3]), jnp.asarray(w[3])),
+        jax.random.key(11), deterministic=True, aggregation="scatter")
+
+    np.testing.assert_allclose(np.asarray(out_c.mu), ref_mus[0].numpy(),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_w.mu), ref_mus[1].numpy(),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_c.recon), ref_recons[0].numpy(),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out_w.recon), ref_recons[1].numpy(),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(logits), ref_logits.numpy(),
                                rtol=2e-4, atol=2e-4)
