@@ -307,6 +307,95 @@ def test_registry_names_match_executed(refm):
     assert sorted(model_map) == sorted(refm.mapping.model_map)
 
 
+def _rand_graph_inputs(rng):
+    onehot = np.zeros((B, N, 20), np.float32)
+    onehot[np.arange(B)[:, None], np.arange(N)[None, :],
+           rng.integers(0, 20, (B, N))] = 1.0
+    coords = rng.standard_normal((B, N, 3)).astype(np.float32)
+    graph = types.SimpleNamespace(
+        ndata={"x": torch.tensor(np.concatenate(
+            [onehot, np.zeros((B, N, 2), np.float32)],
+            axis=-1).reshape(B * N, 22))},
+        edata={"edge_attr": torch.zeros(0, 1)},
+        batch_num_nodes=lambda: [N] * B,
+        device="cpu",
+    )
+    from immunostruct_tpu.structs import GraphBatch
+    gb = GraphBatch(
+        node_feat=jnp.asarray(onehot), coords=jnp.asarray(coords),
+        edge_src=jnp.zeros((B, 1), jnp.int32),
+        edge_dst=jnp.zeros((B, 1), jnp.int32),
+        edge_feat=jnp.zeros((B, 1, 1)), edge_mask=jnp.zeros((B, 1), bool),
+        node_mask=jnp.ones((B, N), bool),
+        num_nodes=jnp.full((B,), N, jnp.int32),
+    )
+    return graph, gb
+
+
+@pytest.mark.parametrize("name", ["SequenceModel", "SequenceFpModel",
+                                  "StructureModel", "DualModel"])
+def test_ablation_full_forward_executed(refm, monkeypatch, name):
+    """The ablation models' COMPLETE forwards, reference executed code vs
+    ours with copied weights (SequenceModel/SequenceFpModel run with no
+    stubbed piece at all — they have no conv stack)."""
+    from immunostruct_tpu.models import build_model
+    from immunostruct_tpu.models.trunk import model_apply
+    import immunostruct_tpu.models.trunk as trunk
+
+    spec, params = build_model(name, VAE_DIM, jax.random.key(5))
+    torch.manual_seed(2)
+    ref = getattr(refm.ablation, name)(VAE_DIM, device="cpu")
+    ref.eval()
+
+    if spec.use_sequence:
+        for fc in ("fc1", "fc21", "fc22", "fc3", "fc4"):
+            copy_linear(getattr(ref, f"vae_{fc}"), params["vae"][fc])
+    if spec.use_structure:
+        if spec.node_attention == "self":
+            copy_linear(ref.self_attention.query, params["node_attn"]["query"])
+            copy_linear(ref.self_attention.key, params["node_attn"]["key"])
+            copy_linear(ref.self_attention.value, params["node_attn"]["value"])
+        else:
+            copy_mha(ref.self_attention, params["node_attn"])
+    copy_linear(ref.classifier[1], params["classifier"]["trunk"])
+    copy_linear(ref.classifier[4], params["classifier"]["out"])
+
+    rng = np.random.default_rng(8)
+    seq = rng.random((B, 284, 21)).astype(np.float32)
+    props = rng.random((B, 2)).astype(np.float32)
+    graph, gb = _rand_graph_inputs(rng)
+    if spec.use_structure:
+        projs = [np.asarray(layer.proj.weight.detach().numpy().T)
+                 for layer in ref.GCN_layers]
+
+        def fake_stack(layers, h, x, *args, **kwargs):
+            for p in projs:
+                h = h @ jnp.asarray(p, h.dtype)
+            return h, x
+
+        monkeypatch.setattr(trunk, "egnn_stack_apply", fake_stack)
+    if spec.use_sequence:
+        ref.reparameterize = lambda mu, logvar: mu
+        monkeypatch.setattr(trunk, "_reparameterize", lambda key, mu, lv: mu)
+
+    with torch.no_grad():
+        ref_recon, ref_mu, ref_logvar, ref_logits = ref(
+            graph, torch.tensor(seq.reshape(B, -1)), torch.tensor(props))
+
+    out = model_apply(
+        params, spec, gb if spec.use_structure else None,
+        jnp.asarray(seq) if spec.use_sequence else None,
+        jnp.asarray(props), jax.random.key(7), deterministic=True,
+        aggregation="scatter")
+    np.testing.assert_allclose(np.asarray(out.logits), ref_logits.numpy(),
+                               rtol=2e-4, atol=2e-4)
+    if spec.use_sequence:
+        np.testing.assert_allclose(np.asarray(out.mu), ref_mu.numpy(),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(out.recon), ref_recon.numpy(),
+                                   rtol=2e-4, atol=2e-4)
+
+
 def test_comparative_full_forward_executed(refm, monkeypatch):
     """The flagship HybridModelv2_Comparative's forward_comparative
     (reference's own executed code) vs model_apply_comparative: twin
