@@ -332,19 +332,31 @@ def _rand_graph_inputs(rng):
     return graph, gb
 
 
-@pytest.mark.parametrize("name", ["SequenceModel", "SequenceFpModel",
-                                  "StructureModel", "DualModel"])
-def test_ablation_full_forward_executed(refm, monkeypatch, name):
-    """The ablation models' COMPLETE forwards, reference executed code vs
-    ours with copied weights (SequenceModel/SequenceFpModel run with no
-    stubbed piece at all — they have no conv stack)."""
+# every non-comparative registry entry except HybridModelv2 (which has
+# its own dedicated test above) -> the reference module holding it
+_SINGLE_MODELS = {
+    "SequenceModel": "ablation", "SequenceFpModel": "ablation",
+    "StructureModel": "ablation", "StructureModel_SSL": "ablation",
+    "StructureModelv2": "ablation", "DualModel": "ablation",
+    "HybridModel": "hybrid", "HybridModel_SSL": "hybrid",
+    "HybridModelv2_SSL": "hybrid",
+}
+
+
+@pytest.mark.parametrize("name", sorted(_SINGLE_MODELS))
+def test_single_model_full_forward_executed(refm, monkeypatch, name):
+    """Every non-comparative model's COMPLETE forward, reference executed
+    code vs ours with copied weights (SequenceModel/SequenceFpModel run
+    with no stubbed piece at all — they have no conv stack; the SSL
+    variants additionally compare the node-prediction head)."""
     from immunostruct_tpu.models import build_model
     from immunostruct_tpu.models.trunk import model_apply
     import immunostruct_tpu.models.trunk as trunk
 
     spec, params = build_model(name, VAE_DIM, jax.random.key(5))
     torch.manual_seed(2)
-    ref = getattr(refm.ablation, name)(VAE_DIM, device="cpu")
+    ref = getattr(getattr(refm, _SINGLE_MODELS[name]), name)(
+        VAE_DIM, device="cpu")
     ref.eval()
 
     if spec.use_sequence:
@@ -357,8 +369,18 @@ def test_ablation_full_forward_executed(refm, monkeypatch, name):
             copy_linear(ref.self_attention.value, params["node_attn"]["value"])
         else:
             copy_mha(ref.self_attention, params["node_attn"])
+    if spec.use_property and spec.use_sequence:
+        copy_linear(ref.property_embedding[0], params["property_embedding"][0])
+        copy_linear(ref.property_embedding[3], params["property_embedding"][1])
+    if spec.combined_attention_dim > 0:
+        copy_mha(ref.combined_attention, params["combined_attention"])
     copy_linear(ref.classifier[1], params["classifier"]["trunk"])
-    copy_linear(ref.classifier[4], params["classifier"]["out"])
+    if spec.ssl:
+        copy_linear(ref.classifier_head, params["classifier"]["classifier_head"])
+        copy_linear(ref.node_predictor_head,
+                    params["classifier"]["node_predictor_head"])
+    else:
+        copy_linear(ref.classifier[4], params["classifier"]["out"])
 
     rng = np.random.default_rng(8)
     seq = rng.random((B, 284, 21)).astype(np.float32)
@@ -379,8 +401,11 @@ def test_ablation_full_forward_executed(refm, monkeypatch, name):
         monkeypatch.setattr(trunk, "_reparameterize", lambda key, mu, lv: mu)
 
     with torch.no_grad():
-        ref_recon, ref_mu, ref_logvar, ref_logits = ref(
-            graph, torch.tensor(seq.reshape(B, -1)), torch.tensor(props))
+        ref_out = ref(graph, torch.tensor(seq.reshape(B, -1)),
+                      torch.tensor(props))
+    ref_recon, ref_mu = ref_out[0], ref_out[1]
+    ref_logits = ref_out[3]
+    ref_node = ref_out[4] if len(ref_out) > 4 else None
 
     out = model_apply(
         params, spec, gb if spec.use_structure else None,
@@ -389,6 +414,9 @@ def test_ablation_full_forward_executed(refm, monkeypatch, name):
         aggregation="scatter")
     np.testing.assert_allclose(np.asarray(out.logits), ref_logits.numpy(),
                                rtol=2e-4, atol=2e-4)
+    if ref_node is not None:
+        np.testing.assert_allclose(np.asarray(out.node_logits),
+                                   ref_node.numpy(), rtol=2e-4, atol=2e-4)
     if spec.use_sequence:
         np.testing.assert_allclose(np.asarray(out.mu), ref_mu.numpy(),
                                    rtol=2e-5, atol=2e-5)
@@ -396,70 +424,66 @@ def test_ablation_full_forward_executed(refm, monkeypatch, name):
                                    rtol=2e-4, atol=2e-4)
 
 
-def test_comparative_full_forward_executed(refm, monkeypatch):
-    """The flagship HybridModelv2_Comparative's forward_comparative
-    (reference's own executed code) vs model_apply_comparative: twin
-    inputs, shared weights, shared stand-in conv, z = mu."""
+@pytest.mark.parametrize("name", [
+    "HybridModel_Comparative", "HybridModel_Comparative_SSL",
+    "HybridModelv2_Comparative", "HybridModelv2_Comparative_SSL"])
+def test_comparative_full_forward_executed(refm, monkeypatch, name):
+    """Every comparative model's forward_comparative (the flagship twin
+    pass; reference's own executed code) vs model_apply_comparative:
+    twin inputs, shared weights, shared stand-in conv, z = mu. SSL
+    variants additionally compare the node-prediction head."""
     from immunostruct_tpu.models import build_model
     from immunostruct_tpu.models.trunk import model_apply_comparative
     import immunostruct_tpu.models.trunk as trunk
     from immunostruct_tpu.structs import GraphBatch
 
-    spec, params = build_model("HybridModelv2_Comparative", VAE_DIM,
-                               jax.random.key(9))
+    spec, params = build_model(name, VAE_DIM, jax.random.key(9))
     assert spec.use_wt_for_downstream
     torch.manual_seed(1)
-    ref = refm.comparative.HybridModelv2_Comparative(VAE_DIM, device="cpu")
+    ref = getattr(refm.comparative, name)(VAE_DIM, device="cpu")
     ref.eval()
-    copy_mha(ref.self_attention, params["node_attn"])
-    for name in ("fc1", "fc21", "fc22", "fc3", "fc4"):
-        copy_linear(getattr(ref, f"vae_{name}"), params["vae"][name])
+    if spec.node_attention == "self":
+        copy_linear(ref.self_attention.query, params["node_attn"]["query"])
+        copy_linear(ref.self_attention.key, params["node_attn"]["key"])
+        copy_linear(ref.self_attention.value, params["node_attn"]["value"])
+    else:
+        copy_mha(ref.self_attention, params["node_attn"])
+    for fc in ("fc1", "fc21", "fc22", "fc3", "fc4"):
+        copy_linear(getattr(ref, f"vae_{fc}"), params["vae"][fc])
     copy_linear(ref.property_embedding[0], params["property_embedding"][0])
     copy_linear(ref.property_embedding[3], params["property_embedding"][1])
-    copy_mha(ref.combined_attention, params["combined_attention"])
+    if spec.combined_attention_dim > 0:
+        copy_mha(ref.combined_attention, params["combined_attention"])
     copy_linear(ref.classifier[1], params["classifier"]["trunk"])
-    copy_linear(ref.classifier[4], params["classifier"]["out"])
+    if spec.ssl:
+        copy_linear(ref.classifier_head,
+                    params["classifier"]["classifier_head"])
+        copy_linear(ref.node_predictor_head,
+                    params["classifier"]["node_predictor_head"])
+    else:
+        copy_linear(ref.classifier[4], params["classifier"]["out"])
     projs = [np.asarray(layer.proj.weight.detach().numpy().T)
              for layer in ref.GCN_layers]
 
     rng = np.random.default_rng(6)
 
-    def side(seed_shift):
-        onehot = np.zeros((B, N, 20), np.float32)
-        onehot[np.arange(B)[:, None], np.arange(N)[None, :],
-               rng.integers(0, 20, (B, N))] = 1.0
-        coords = rng.standard_normal((B, N, 3)).astype(np.float32)
+    def side():
+        graph, gb = _rand_graph_inputs(rng)
         seq = rng.random((B, 284, 21)).astype(np.float32)
         props = rng.random((B, 2)).astype(np.float32)
-        graph = types.SimpleNamespace(
-            ndata={"x": torch.tensor(np.concatenate(
-                [onehot, np.zeros((B, N, 2), np.float32)],
-                axis=-1).reshape(B * N, 22))},
-            edata={"edge_attr": torch.zeros(0, 1)},
-            batch_num_nodes=lambda: [N] * B,
-            device="cpu",
-        )
-        gb = GraphBatch(
-            node_feat=jnp.asarray(onehot), coords=jnp.asarray(coords),
-            edge_src=jnp.zeros((B, 1), jnp.int32),
-            edge_dst=jnp.zeros((B, 1), jnp.int32),
-            edge_feat=jnp.zeros((B, 1, 1)),
-            edge_mask=jnp.zeros((B, 1), bool),
-            node_mask=jnp.ones((B, N), bool),
-            num_nodes=jnp.full((B,), N, jnp.int32),
-        )
-        return onehot, coords, seq, props, graph, gb
+        return seq, props, graph, gb
 
-    c = side(0)
-    w = side(1)
+    c = side()
+    w = side()
     ref.reparameterize = lambda mu, logvar: mu
     with torch.no_grad():
-        ref_emb, ref_recons, ref_mus, ref_logvars, ref_logits = \
-            ref.forward_comparative(
-                (c[4], w[4]),
-                (torch.tensor(c[2].reshape(B, -1)),
-                 torch.tensor(w[2].reshape(B, -1))),
-                (torch.tensor(c[3]), torch.tensor(w[3])))
+        ref_out = ref.forward_comparative(
+            (c[2], w[2]),
+            (torch.tensor(c[0].reshape(B, -1)),
+             torch.tensor(w[0].reshape(B, -1))),
+            (torch.tensor(c[1]), torch.tensor(w[1])))
+    _, ref_recons, ref_mus, _, ref_logits = ref_out[:5]
+    ref_node = ref_out[5] if len(ref_out) > 5 else None
 
     def fake_stack(layers, h, x, *args, **kwargs):
         for p in projs:
@@ -469,9 +493,9 @@ def test_comparative_full_forward_executed(refm, monkeypatch):
     monkeypatch.setattr(trunk, "egnn_stack_apply", fake_stack)
     monkeypatch.setattr(trunk, "_reparameterize", lambda key, mu, lv: mu)
     out_c, out_w, logits = model_apply_comparative(
-        params, spec, (c[5], w[5]),
-        (jnp.asarray(c[2]), jnp.asarray(w[2])),
-        (jnp.asarray(c[3]), jnp.asarray(w[3])),
+        params, spec, (c[3], w[3]),
+        (jnp.asarray(c[0]), jnp.asarray(w[0])),
+        (jnp.asarray(c[1]), jnp.asarray(w[1])),
         jax.random.key(11), deterministic=True, aggregation="scatter")
 
     np.testing.assert_allclose(np.asarray(out_c.mu), ref_mus[0].numpy(),
@@ -484,3 +508,6 @@ def test_comparative_full_forward_executed(refm, monkeypatch):
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(logits), ref_logits.numpy(),
                                rtol=2e-4, atol=2e-4)
+    if ref_node is not None:
+        np.testing.assert_allclose(np.asarray(out_c.node_logits),
+                                   ref_node.numpy(), rtol=2e-4, atol=2e-4)
