@@ -158,6 +158,35 @@ def test_mega_dboth_inkernel_backward_matches():
         pm.BWD_DBOTH_INKERNEL = saved
 
 
+def test_mega_shape_fuzz_matches_onehot():
+    """Random shape sweep (node counts off the tile grid, edge counts at
+    1..3 tiles, empty-ish masks): mega must match onehot everywhere it
+    claims support."""
+    rng = np.random.default_rng(99)
+    cases = [
+        dict(b=1, n=9, e=128),        # tiny, non-multiple-of-8 nodes
+        dict(b=4, n=31, e=256),
+        dict(b=2, n=57, e=384),       # 3 tiles at small budget? (still 1)
+        dict(b=2, n=130, e=1408),     # the realistic featurizer edge pad
+    ]
+    for i, kw in enumerate(cases):
+        params, h, x, esrc, edst, efeat, emask = _toy(seed=40 + i, **kw)
+        if i == 0:  # degenerate: almost everything masked
+            emask = jnp.asarray(np.arange(kw["e"]) < 3)[None].repeat(kw["b"], 0)
+        l_one, g_one = jax.value_and_grad(_loss)(
+            params, h, x, esrc, edst, efeat, emask, "onehot")
+        l_mega, g_mega = jax.value_and_grad(_loss)(
+            params, h, x, esrc, edst, efeat, emask, "mega")
+        np.testing.assert_allclose(float(l_mega), float(l_one),
+                                   rtol=5e-4, atol=5e-5, err_msg=str(kw))
+        ref_scale = max(float(jnp.max(jnp.abs(g)))
+                        for g in jax.tree.leaves(g_one)) or 1.0
+        for a, b2 in zip(jax.tree.leaves(g_one), jax.tree.leaves(g_mega)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
+                                       rtol=2e-3, atol=2e-3 * ref_scale,
+                                       err_msg=str(kw))
+
+
 def test_mega_bf16_close_to_f32():
     params, h, x, esrc, edst, efeat, emask = _toy(seed=13)
     cast = lambda t: jax.tree.map(
