@@ -51,6 +51,7 @@ from __future__ import annotations
 
 import json
 import statistics
+import sys
 import time
 
 import numpy as np
@@ -306,5 +307,28 @@ def main():
     print(json.dumps(out))
 
 
+def _device_reachable(timeout_s: int = 300) -> bool:
+    """Probe the backend in a SUBPROCESS with a hard timeout: the tunnel's
+    TPU pool has measured multi-hour outages (round 3) during which any
+    device call blocks forever in-process, so the probe must be killable."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices()[0]"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 if __name__ == "__main__":
+    if not _device_reachable():
+        print(json.dumps({
+            "metric": "train_samples_per_sec_per_chip", "value": 0,
+            "unit": "pMHC/s", "vs_baseline": 0,
+            "error": "accelerator backend unreachable (TPU pool outage); "
+                     "see benchmarks/RESULTS.md for the last good run",
+        }))
+        sys.exit(1)
     main()
