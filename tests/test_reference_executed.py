@@ -408,3 +408,89 @@ def test_evaluate_metrics_executed(ref, capsys):
     for k in ref_out:
         np.testing.assert_allclose(my_out[k], ref_out[k], rtol=1e-9,
                                    err_msg=k)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: sequence encoding, ExtendedDataset, $ROOT, dedupe
+# ---------------------------------------------------------------------------
+
+def test_one_hot_encode_sequence_executed(ref):
+    """data/utils.py:75-89 (executed) vs data/encoding.py::one_hot_encode
+    — 21-alphabet incl. the 'J' padding char, unknown chars -> zero rows."""
+    from immunostruct_tpu.data.encoding import one_hot_encode
+    for seq in ["ACDEFGHIKLMNPQRSTVWYJ", "AJJA", "AXB?C", ""]:
+        theirs = ref.utils_data.one_hot_encode_sequence(seq)
+        ours = one_hot_encode(seq)
+        np.testing.assert_array_equal(ours, theirs.astype(np.float32))
+
+
+def test_extended_dataset_executed(ref):
+    """util_dataloader.py ExtendedDataset (executed): cyclic index
+    extension matches BatchPipeline's extend_to tiling."""
+    util_dl = _load("refimmuno.data.util_dataloader",
+                    os.path.join(REF_ROOT, "data", "util_dataloader.py"))
+    base = list(range(7))
+    ext = util_dl.ExtendedDataset(base, 20)
+    assert len(ext) == 20
+    ref_order = [ext[i] for i in range(20)]
+    # ours: np.tile of the index list, truncated to extend_to
+    reps = int(np.ceil(20 / len(base)))
+    ours = np.tile(np.asarray(base), reps)[:20]
+    np.testing.assert_array_equal(ours, ref_order)
+
+
+def test_update_paths_executed(ref):
+    """utils/update_paths.py (executed) vs config.update_paths: identical
+    $ROOT expansion over every string field (different roots by design —
+    each expands relative to its own tree — so both run with the
+    reference's computed ROOT)."""
+    import types as _types
+    from immunostruct_tpu.config import Config, update_paths
+
+    up = _load("refimmuno.utils.update_paths",
+               os.path.join(REF_ROOT, "utils", "update_paths.py"))
+    ref_cfg = _types.SimpleNamespace(
+        a="$ROOT/data/x.tsv", b="no-root", c=123, d="$ROOT/y")
+    up.update_paths(ref_cfg)
+    root = ref_cfg.a[: -len("/data/x.tsv")]
+
+    cfg = Config(property_path_IEDB="$ROOT/data/x.tsv",
+                 model_save_dir="$ROOT/y")
+    update_paths(cfg, root=root)
+    assert cfg.property_path_IEDB == ref_cfg.a
+    assert cfg.model_save_dir == ref_cfg.d
+
+
+def test_dedupe_executed(ref):
+    """data/utils.py::dedupe (executed, graph args stubbed to the dgl
+    surface it touches): a (sequence, reg-value) dupe is removed only when
+    the graphs are fully identical — same rule as data/dedupe.py."""
+    import types as _types
+
+    def fake_graph(n_nodes, n_edges, tag):
+        x = np.full((n_nodes, 22), float(tag))
+        return _types.SimpleNamespace(
+            num_nodes=lambda: n_nodes, num_edges=lambda: n_edges,
+            ndata={"x": _TensorLike(x)},
+            edata={"edge_attr": _TensorLike(np.ones((n_edges, 1)))},
+            edges=lambda: (_TensorLike(np.zeros(n_edges)),
+                           _TensorLike(np.zeros(n_edges))),
+        )
+
+    class _TensorLike:
+        def __init__(self, a):
+            self.a = a
+
+        def tolist(self):
+            return self.a.tolist()
+
+    seqs = [np.eye(3)[:2], np.eye(3)[:2], np.eye(3)[1:], np.eye(3)[:2]]
+    regs = [0.5, 0.5, 0.5, 0.5]
+    imm = [1, 0, 1, 0]
+    regf = [0.1, 0.2, 0.3, 0.4]
+    graphs = [fake_graph(4, 6, 0), fake_graph(4, 6, 0),  # full dupe: drop 1
+              fake_graph(4, 6, 0), fake_graph(5, 6, 0)]  # seq dupe, diff graph
+    out = ref.utils_data.dedupe(seqs, regs, imm, regf, graphs)
+    # index 1 removed (identical seq+reg+graph); index 3 kept (graph differs)
+    assert [g.num_nodes() for g in out[4]] == [4, 4, 5]
+    assert out[3] == [0.1, 0.3, 0.4]
