@@ -110,10 +110,22 @@ ONEHOT_SKIP_PROBE = False   # TIMING PROBE ONLY (wrong numerics): replace
                             # is worth writing
 
 
+def _tile_within_budget(e: int, per_edge_bytes: int) -> int:
+    """Largest 128-multiple tile dividing E whose per-edge VMEM live set
+    fits ~12 MB; 0 if none."""
+    budget = 12 * 1024 * 1024 // per_edge_bytes
+    best = 0
+    t = 128
+    while t <= e:
+        if e % t == 0 and t <= budget:
+            best = t
+        t += 128
+    return best
+
+
 def mega_pick_tile(e: int, n: int, hid: int = 64,
                    backward: bool = True) -> int:
-    """Largest 128-multiple tile dividing E within the kernel's VMEM
-    budget, 0 if none.
+    """Tile for the fwd/bwd mega kernels (0 = shapes unsupported).
 
     Backward worst case per edge of tile: ~16 live [H,T] f32-equivalent
     chain buffers (~64 B per H-row element), the two [N,T] bf16 one-hots,
@@ -122,14 +134,7 @@ def mega_pick_tile(e: int, n: int, hid: int = 64,
     -> better pipelining)."""
     per_edge = (64 if backward else 36) * max(hid, 8) + 4 * n + \
         (30 if backward else 14) * (hid + 3)
-    budget = 12 * 1024 * 1024 // per_edge
-    best = 0
-    t = 128
-    while t <= e:
-        if e % t == 0 and t <= budget:
-            best = t
-        t += 128
-    return best
+    return _tile_within_budget(e, per_edge)
 
 
 def _onehots(src_ref, dst_ref, n: int, dtype):
@@ -240,10 +245,12 @@ def _tail_bwd_kernel(ef_ref, w2_ref, wc1_ref, small_ref,
                    dsmall_ref, hid=hid)
 
 
-def _tail_bwd_core(ef_ref, w2_ref, wc1_ref, small_ref,
-                   a1_ref, xd_ref, d_both,
-                   dcat_ref, def_ref,
-                   dw2_ref, dwc1_ref, dsmall_ref, *, hid: int):
+def _chain_bwd(ef_ref, w2_ref, wc1_ref, small_ref, a1_ref, xd_ref,
+               d_both, *, hid: int):
+    """Backward of the edge-MLP chain from the saved a1/xd residuals and
+    the incoming aggregate cotangent d_both [H+3, T]. Returns everything
+    the callers store or feed into the weight-grad dots — shared by the
+    production tail kernel and the flag-gated v7/v7a variants."""
     dtype = a1_ref.dtype
     xd = xd_ref[0]                                          # [3, T]
     rad_b, radf, inv_s = _geometry(xd)
@@ -251,7 +258,6 @@ def _tail_bwd_core(ef_ref, w2_ref, wc1_ref, small_ref,
     ch = _chain_from_a1(a1_ref[0].astype(jnp.float32), w2_ref[...],
                         wc1_ref[...], smf, dtype)
     a1, s1, a1s, p2, s2, m, p3, s3, c1, cw = ch
-    ef = ef_ref[0]
     xdf = xd.astype(jnp.float32)
     x_hat = xdf * inv_s
     cw_b = cw.astype(dtype).astype(jnp.float32)
@@ -276,18 +282,15 @@ def _tail_bwd_core(ef_ref, w2_ref, wc1_ref, small_ref,
     d_safe = sum_dxh_xd * (-0.5) * inv_s * inv_s / sqrt_safe
     d_rad = d_rad_chain + jnp.where(radf > 0, d_safe, 0.0)
     d_xd = (d_xhat * inv_s + 2.0 * xdf * d_rad).astype(dtype)
+    d_ef = jnp.sum(smf[:, _W1E:_W1E + 1] * d_a1f, axis=0,
+                   keepdims=True).astype(dtype)
+    return dict(d_a1=d_a1, d_xd=d_xd, d_ef=d_ef, d_a1f=d_a1f,
+                d_p2=d_p2, d_p3=d_p3, d_cw=d_cw,
+                a1s=a1s, m=m, c1=c1, rad_b=rad_b, ef=ef_ref[0])
 
-    # d_a1 and d_xd leave as ONE [H+3, T] tensor (slice stores, no VPU
-    # concat) so the caller's gather transposes read it in ONE pass per
-    # one-hot side — two C=H+3 einsums instead of three (d_pa, d_pb,
-    # d_x-over-(S_src-S_dst)), deleting a whole [B,N,E] one-hot-build +
-    # dot fusion from the backward.
-    dcat_ref[0, :hid] = d_a1
-    dcat_ref[0, hid:] = d_xd
-    def_ref[0] = jnp.sum(smf[:, _W1E:_W1E + 1] * d_a1f, axis=0,
-                         keepdims=True).astype(dtype)
 
-    # ---- weight grads: f32 accumulation in revisited output blocks ----
+def _accum_weight_grads(dw2_ref, dwc1_ref, dsmall_ref, v):
+    """f32 weight-grad accumulation in revisited output blocks."""
     first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
 
     @pl.when(first)
@@ -305,16 +308,33 @@ def _tail_bwd_core(ef_ref, w2_ref, wc1_ref, small_ref,
             x, dy, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    dw2_ref[...] += outerT(a1s, d_p2)
-    dwc1_ref[...] += outerT(m, d_p3)
-    ones = jnp.ones_like(d_cw)
-    lhs3 = jnp.concatenate([rad_b.astype(jnp.float32),
-                            ef.astype(jnp.float32), ones], axis=0)
-    d3 = outerT(d_a1f, lhs3)
-    db2 = outerT(d_p2.astype(jnp.float32), ones)
-    dbc1 = outerT(d_p3.astype(jnp.float32), ones)
-    dwc2 = outerT(c1.astype(jnp.float32), d_cw)
+    dw2_ref[...] += outerT(v["a1s"], v["d_p2"])
+    dwc1_ref[...] += outerT(v["m"], v["d_p3"])
+    ones = jnp.ones_like(v["d_cw"])
+    lhs3 = jnp.concatenate([v["rad_b"].astype(jnp.float32),
+                            v["ef"].astype(jnp.float32), ones], axis=0)
+    d3 = outerT(v["d_a1f"], lhs3)
+    db2 = outerT(v["d_p2"].astype(jnp.float32), ones)
+    dbc1 = outerT(v["d_p3"].astype(jnp.float32), ones)
+    dwc2 = outerT(v["c1"].astype(jnp.float32), v["d_cw"])
     dsmall_ref[...] += jnp.concatenate([d3, db2, dbc1, dwc2], axis=1)
+
+
+def _tail_bwd_core(ef_ref, w2_ref, wc1_ref, small_ref,
+                   a1_ref, xd_ref, d_both,
+                   dcat_ref, def_ref,
+                   dw2_ref, dwc1_ref, dsmall_ref, *, hid: int):
+    v = _chain_bwd(ef_ref, w2_ref, wc1_ref, small_ref, a1_ref, xd_ref,
+                   d_both, hid=hid)
+    # d_a1 and d_xd leave as ONE [H+3, T] tensor (slice stores, no VPU
+    # concat) so the caller's gather transposes read it in ONE pass per
+    # one-hot side — two C=H+3 einsums instead of three (d_pa, d_pb,
+    # d_x-over-(S_src-S_dst)), deleting a whole [B,N,E] one-hot-build +
+    # dot fusion from the backward.
+    dcat_ref[0, :hid] = v["d_a1"]
+    dcat_ref[0, hid:] = v["d_xd"]
+    def_ref[0] = v["d_ef"]
+    _accum_weight_grads(dw2_ref, dwc1_ref, dsmall_ref, v)
 
 
 def _tail_bwd_kernel_db(dst_ref, ef_ref, w2_ref, wc1_ref, small_ref,
@@ -354,45 +374,14 @@ def _tail_bwd_kernel_v7(src_ref, dst_ref, ef_ref, w2_ref, wc1_ref,
     dtype = a1_ref.dtype
     n = g_ref.shape[1]
     s_src, s_dst = _onehots(src_ref, dst_ref, n, dtype)     # [N, T]
-    g = g_ref[0]                                            # [N, H+3]
     d_both = jax.lax.dot_general(                           # [H+3, T]
-        g, s_dst, dimension_numbers=(((0,), (0,)), ((), ())),
+        g_ref[0], s_dst, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dtype)
-
-    xd = xd_ref[0]                                          # [3, T]
-    rad_b, radf, inv_s = _geometry(xd)
-    smf = small_ref[...].astype(jnp.float32)
-    ch = _chain_from_a1(a1_ref[0].astype(jnp.float32), w2_ref[...],
-                        wc1_ref[...], smf, dtype)
-    a1, s1, a1s, p2, s2, m, p3, s3, c1, cw = ch
-    ef = ef_ref[0]
-    xdf = xd.astype(jnp.float32)
-    x_hat = xdf * inv_s
-    cw_b = cw.astype(dtype).astype(jnp.float32)
-
-    d_m_in = d_both[:hid]
-    d_msgx = d_both[hid:].astype(jnp.float32)
-
-    d_cw = jnp.sum(d_msgx * x_hat, axis=0, keepdims=True)
-    d_xhat = d_msgx * cw_b
-    d_c1 = smf[:, _WC2:_WC2 + 1] * d_cw
-    d_p3 = (d_c1 * _silu_grad(p3, s3)).astype(dtype)
-    d_m = d_m_in.astype(jnp.float32) + _dot_noT(wc1_ref[...], d_p3, dtype)
-    d_p2 = (d_m * _silu_grad(p2, s2)).astype(dtype)
-    d_a1s = _dot_noT(w2_ref[...], d_p2, dtype)
-    d_a1 = (d_a1s * _silu_grad(a1, s1)).astype(dtype)
-    d_a1f = d_a1.astype(jnp.float32)
-
-    d_rad_chain = jnp.sum(smf[:, _W1R:_W1R + 1] * d_a1f, axis=0,
-                          keepdims=True)
-    sum_dxh_xd = jnp.sum(d_xhat * xdf, axis=0, keepdims=True)
-    sqrt_safe = jnp.sqrt(jnp.where(radf > 0, radf, 1.0))
-    d_safe = sum_dxh_xd * (-0.5) * inv_s * inv_s / sqrt_safe
-    d_rad = d_rad_chain + jnp.where(radf > 0, d_safe, 0.0)
-    d_xd = (d_xhat * inv_s + 2.0 * xdf * d_rad).astype(dtype)
+    v = _chain_bwd(ef_ref, w2_ref, wc1_ref, small_ref, a1_ref, xd_ref,
+                   d_both, hid=hid)
 
     # node-space contraction IN-KERNEL: d_nodes[src|dst] = S @ d_cat^T
-    d_cat = jnp.concatenate([d_a1, d_xd], axis=0)           # [H+3, T]
+    d_cat = jnp.concatenate([v["d_a1"], v["d_xd"]], axis=0)  # [H+3, T]
     d_src = jax.lax.dot_general(                            # [N, H+3] f32
         s_src, d_cat, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -409,33 +398,8 @@ def _tail_bwd_kernel_v7(src_ref, dst_ref, ef_ref, w2_ref, wc1_ref,
     def _():
         dnodes_ref[0] += part
 
-    def_ref[0] = jnp.sum(smf[:, _W1E:_W1E + 1] * d_a1f, axis=0,
-                         keepdims=True).astype(dtype)
-
-    # ---- weight grads: f32 accumulation in revisited output blocks ----
-    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
-
-    @pl.when(first)
-    def _():
-        dw2_ref[...] = jnp.zeros_like(dw2_ref)
-        dwc1_ref[...] = jnp.zeros_like(dwc1_ref)
-        dsmall_ref[...] = jnp.zeros_like(dsmall_ref)
-
-    def outerT(x, dy):
-        return jax.lax.dot_general(
-            x, dy, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-
-    dw2_ref[...] += outerT(a1s, d_p2)
-    dwc1_ref[...] += outerT(m, d_p3)
-    ones = jnp.ones_like(d_cw)
-    lhs3 = jnp.concatenate([rad_b.astype(jnp.float32),
-                            ef.astype(jnp.float32), ones], axis=0)
-    d3 = outerT(d_a1f, lhs3)
-    db2 = outerT(d_p2.astype(jnp.float32), ones)
-    dbc1 = outerT(d_p3.astype(jnp.float32), ones)
-    dwc2 = outerT(c1.astype(jnp.float32), d_cw)
-    dsmall_ref[...] += jnp.concatenate([d3, db2, dbc1, dwc2], axis=1)
+    def_ref[0] = v["d_ef"]
+    _accum_weight_grads(dw2_ref, dwc1_ref, dsmall_ref, v)
 
 
 # --------------------------------------------------------------------------
@@ -507,13 +471,7 @@ def _tail_bwd_call(ef, w2, wc1, small, a1, xd, d_both, interpret):
     # than the old all-in-kernel backward (fewer cells -> less of the
     # ~0.7us/cell fixed overhead)
     per_edge = 52 * max(hid, 8) + 10 * (hid + 3)
-    budget = 12 * 1024 * 1024 // per_edge
-    t = 0
-    cand = 128
-    while cand <= e:
-        if e % cand == 0 and cand <= budget:
-            t = cand
-        cand += 128
+    t = _tile_within_budget(e, per_edge)
     assert t, f"edge count {e} has no 128-multiple tile for mega tail"
     grid = (b, e // t)
     row1 = pl.BlockSpec((1, 1, t), lambda i, j: (i, 0, j),
@@ -558,13 +516,7 @@ def _tail_bwd_call_db(dst, emask, ef, w2, wc1, small, a1, xd, g,
     c = hid + 3
     # the v4 tail's buffers + one [N,T] bf16 one-hot (2n B/edge)
     per_edge = 52 * max(hid, 8) + 10 * c + 2 * n
-    budget = 12 * 1024 * 1024 // per_edge
-    t = 0
-    cand = 128
-    while cand <= e:
-        if e % cand == 0 and cand <= budget:
-            t = cand
-        cand += 128
+    t = _tile_within_budget(e, per_edge)
     assert t, f"edge count {e} has no 128-multiple tile for mega tail db"
     grid = (b, e // t)
     dst3 = jnp.where(emask, dst, n).reshape(b, 1, e)
@@ -610,13 +562,7 @@ def _tail_bwd_call_v7(src, dst, emask, ef, w2, wc1, small, a1, xd, g,
     # per-edge VMEM: the v4 tail's chain/grad buffers + two [N,T] bf16
     # one-hots (4n B/edge) + the [C,T] d_both/d_cat temps
     per_edge = 52 * max(hid, 8) + 10 * c + 4 * n + 4 * c
-    budget = 12 * 1024 * 1024 // per_edge
-    t = 0
-    cand = 128
-    while cand <= e:
-        if e % cand == 0 and cand <= budget:
-            t = cand
-        cand += 128
+    t = _tile_within_budget(e, per_edge)
     assert t, f"edge count {e} has no 128-multiple tile for mega tail v7"
     grid = (b, e // t)
     src3 = jnp.where(emask, src, n).reshape(b, 1, e)

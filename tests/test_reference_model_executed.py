@@ -127,6 +127,35 @@ def copy_mha(t_mha, ours: dict):
     copy_linear(t_mha.w_concat, ours["w_concat"])
 
 
+def copy_shared_weights(ref, params, spec):
+    """Copy every weight our spec says the model has into the reference
+    instance (torch layout), keyed off the same spec flags both sides
+    were built from."""
+    if spec.use_sequence:
+        for fc in ("fc1", "fc21", "fc22", "fc3", "fc4"):
+            copy_linear(getattr(ref, f"vae_{fc}"), params["vae"][fc])
+    if spec.use_structure:
+        if spec.node_attention == "self":
+            copy_linear(ref.self_attention.query, params["node_attn"]["query"])
+            copy_linear(ref.self_attention.key, params["node_attn"]["key"])
+            copy_linear(ref.self_attention.value, params["node_attn"]["value"])
+        else:
+            copy_mha(ref.self_attention, params["node_attn"])
+    if spec.use_property and spec.use_sequence:
+        copy_linear(ref.property_embedding[0], params["property_embedding"][0])
+        copy_linear(ref.property_embedding[3], params["property_embedding"][1])
+    if spec.combined_attention_dim > 0:
+        copy_mha(ref.combined_attention, params["combined_attention"])
+    copy_linear(ref.classifier[1], params["classifier"]["trunk"])
+    if spec.ssl:
+        copy_linear(ref.classifier_head,
+                    params["classifier"]["classifier_head"])
+        copy_linear(ref.node_predictor_head,
+                    params["classifier"]["node_predictor_head"])
+    else:
+        copy_linear(ref.classifier[4], params["classifier"]["out"])
+
+
 def test_self_attention_executed(refm):
     from immunostruct_tpu.ops.attention import (
         self_attention_init, self_attention_apply)
@@ -186,14 +215,7 @@ def paired_models(refm):
     ref = refm.hybrid.HybridModelv2(VAE_DIM, device="cpu")
     ref.eval()
 
-    copy_mha(ref.self_attention, params["node_attn"])
-    for name in ("fc1", "fc21", "fc22", "fc3", "fc4"):
-        copy_linear(getattr(ref, f"vae_{name}"), params["vae"][name])
-    copy_linear(ref.property_embedding[0], params["property_embedding"][0])
-    copy_linear(ref.property_embedding[3], params["property_embedding"][1])
-    copy_mha(ref.combined_attention, params["combined_attention"])
-    copy_linear(ref.classifier[1], params["classifier"]["trunk"])
-    copy_linear(ref.classifier[4], params["classifier"]["out"])
+    copy_shared_weights(ref, params, spec)
 
     # shared stand-in conv stack: copy the torch stubs' seeded projections
     # into arrays for this repo's side
@@ -359,28 +381,7 @@ def test_single_model_full_forward_executed(refm, monkeypatch, name):
         VAE_DIM, device="cpu")
     ref.eval()
 
-    if spec.use_sequence:
-        for fc in ("fc1", "fc21", "fc22", "fc3", "fc4"):
-            copy_linear(getattr(ref, f"vae_{fc}"), params["vae"][fc])
-    if spec.use_structure:
-        if spec.node_attention == "self":
-            copy_linear(ref.self_attention.query, params["node_attn"]["query"])
-            copy_linear(ref.self_attention.key, params["node_attn"]["key"])
-            copy_linear(ref.self_attention.value, params["node_attn"]["value"])
-        else:
-            copy_mha(ref.self_attention, params["node_attn"])
-    if spec.use_property and spec.use_sequence:
-        copy_linear(ref.property_embedding[0], params["property_embedding"][0])
-        copy_linear(ref.property_embedding[3], params["property_embedding"][1])
-    if spec.combined_attention_dim > 0:
-        copy_mha(ref.combined_attention, params["combined_attention"])
-    copy_linear(ref.classifier[1], params["classifier"]["trunk"])
-    if spec.ssl:
-        copy_linear(ref.classifier_head, params["classifier"]["classifier_head"])
-        copy_linear(ref.node_predictor_head,
-                    params["classifier"]["node_predictor_head"])
-    else:
-        copy_linear(ref.classifier[4], params["classifier"]["out"])
+    copy_shared_weights(ref, params, spec)
 
     rng = np.random.default_rng(8)
     seq = rng.random((B, 284, 21)).astype(np.float32)
@@ -442,26 +443,7 @@ def test_comparative_full_forward_executed(refm, monkeypatch, name):
     torch.manual_seed(1)
     ref = getattr(refm.comparative, name)(VAE_DIM, device="cpu")
     ref.eval()
-    if spec.node_attention == "self":
-        copy_linear(ref.self_attention.query, params["node_attn"]["query"])
-        copy_linear(ref.self_attention.key, params["node_attn"]["key"])
-        copy_linear(ref.self_attention.value, params["node_attn"]["value"])
-    else:
-        copy_mha(ref.self_attention, params["node_attn"])
-    for fc in ("fc1", "fc21", "fc22", "fc3", "fc4"):
-        copy_linear(getattr(ref, f"vae_{fc}"), params["vae"][fc])
-    copy_linear(ref.property_embedding[0], params["property_embedding"][0])
-    copy_linear(ref.property_embedding[3], params["property_embedding"][1])
-    if spec.combined_attention_dim > 0:
-        copy_mha(ref.combined_attention, params["combined_attention"])
-    copy_linear(ref.classifier[1], params["classifier"]["trunk"])
-    if spec.ssl:
-        copy_linear(ref.classifier_head,
-                    params["classifier"]["classifier_head"])
-        copy_linear(ref.node_predictor_head,
-                    params["classifier"]["node_predictor_head"])
-    else:
-        copy_linear(ref.classifier[4], params["classifier"]["out"])
+    copy_shared_weights(ref, params, spec)
     projs = [np.asarray(layer.proj.weight.detach().numpy().T)
              for layer in ref.GCN_layers]
 
