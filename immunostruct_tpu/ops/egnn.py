@@ -385,7 +385,7 @@ def egnn_apply(
         # fuse both aggregations into one matmul over concat channel dim
         both = jnp.concatenate([m, msg_x.astype(m.dtype)], axis=-1)
         if aggregation == "pallas":
-            from immunostruct_tpu.ops.pallas_segment import segment_scatter
+            from immunostruct_tpu.ops.experimental.pallas_segment import segment_scatter
             interpret = not _on_tpu()
             agg = segment_scatter(edge_dst, edge_mask, both, n, interpret)
         else:
@@ -424,7 +424,7 @@ def egnn_stack_apply(
     if aggregation == "auto":
         aggregation = "mega" if _on_tpu() else "scatter"
     if aggregation == "pallas":
-        from immunostruct_tpu.ops.pallas_segment import _pick_tile
+        from immunostruct_tpu.ops.experimental.pallas_segment import _pick_tile
         if _pick_tile(edge_dst.shape[1]) == 0:
             aggregation = "onehot"  # edge pad not 128-aligned: fall back
     if aggregation == "mega":
@@ -435,8 +435,8 @@ def egnn_stack_apply(
         # whole-stack fast path: one kernel builds the one-hot tiles ONCE
         # and runs every layer with h/x resident in VMEM — the per-layer
         # rebuilds cost a measured 1.5 ms/step at bench shapes
-        # (ops/pallas_stack.py). Requires the edge set in one VMEM tile.
-        from immunostruct_tpu.ops.pallas_stack import (
+        # (ops/experimental/pallas_stack.py). Requires the edge set in one VMEM tile.
+        from immunostruct_tpu.ops.experimental.pallas_stack import (
             apply_stack, stack_supported)
         if stack_supported(edge_dst.shape[1], h.shape[1],
                            layers[0]["edge_mlp"][1]["w"].shape[1],

@@ -5,7 +5,7 @@ import jax
 import numpy as np
 import pytest
 
-from immunostruct_tpu.ops.pallas_segment import _pick_tile
+from immunostruct_tpu.ops.experimental.pallas_segment import _pick_tile
 from immunostruct_tpu.parallel.mesh import (
     shard_indices_for_process, initialize_distributed,
 )

@@ -6,9 +6,11 @@ import numpy as np
 import pytest
 
 from immunostruct_tpu.ops import egnn_stack_init, egnn_stack_apply
-from immunostruct_tpu.ops.pallas_egnn import fused_egnn_layer, fused_egnn_stack
+from immunostruct_tpu.ops.experimental.pallas_egnn import fused_egnn_layer, fused_egnn_stack
 from tests.reference_impl import random_graph
 
+
+pytestmark = pytest.mark.slow  # excluded from the core lane (-m 'not slow')
 
 def _inputs(rng, b=2, n=16, e=128):
     hs, xs, srcs, dsts = zip(*[random_graph(rng, n, e) for _ in range(b)])

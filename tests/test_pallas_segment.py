@@ -6,8 +6,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from immunostruct_tpu.ops.pallas_segment import segment_scatter, segment_gather
+from immunostruct_tpu.ops.experimental.pallas_segment import segment_scatter, segment_gather
 from immunostruct_tpu.ops.egnn import build_scatter_matrix, egnn_stack_init, egnn_stack_apply
+
+pytestmark = pytest.mark.slow  # excluded from the core lane (-m 'not slow')
 
 B, N, E, C = 2, 24, 128, 16
 

@@ -1,6 +1,6 @@
 """Parity tests for the whole-stack EGNN kernel (interpret mode).
 
-ops/pallas_stack.py runs the ENTIRE conv stack in one Pallas program
+ops/experimental/pallas_stack.py runs the ENTIRE conv stack in one Pallas program
 (one-hots built once, h/x resident in VMEM between layers) and must
 match the per-layer paths — same math, different residency — for
 forward values and gradients wrt every parameter and input.
@@ -12,10 +12,12 @@ import numpy as np
 import pytest
 
 from immunostruct_tpu.ops import egnn as eg
-from immunostruct_tpu.ops import pallas_stack as ps
+from immunostruct_tpu.ops.experimental import pallas_stack as ps
 
 from tests.test_pallas_mega import _toy, _loss
 
+
+pytestmark = pytest.mark.slow  # excluded from the core lane (-m 'not slow')
 
 @pytest.fixture(autouse=True)
 def _enable_stack():
