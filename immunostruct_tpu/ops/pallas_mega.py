@@ -108,6 +108,19 @@ ONEHOT_SKIP_PROBE = False   # TIMING PROBE ONLY (wrong numerics): replace
                             # cost — the signal that decides whether a
                             # whole-stack kernel (build once, 6 layers)
                             # is worth writing
+MEGA_INNER = 1              # v8 (VERDICT r3 item 2, the overlap gap): split
+                            # the forward's edge tile into this many
+                            # sub-tiles INSIDE the kernel body. The VPU
+                            # one-hot builds (~1.5 ms/step, skipprobe) and
+                            # the MXU gather/aggregation dots are
+                            # independent across sub-tiles, so unrolled
+                            # straight-line sub-tile bodies give Mosaic's
+                            # scheduler the chance to overlap sub-tile
+                            # k+1's builds with sub-tile k's dots instead
+                            # of serializing build->dots over the whole
+                            # tile. Numerics: identical math, one extra
+                            # f32 add chain on the aggregation partials
+                            # (roundoff-level; parity-tested). 1 = off.
 
 
 def _tile_within_budget(e: int, per_edge_bytes: int) -> int:
@@ -137,11 +150,11 @@ def mega_pick_tile(e: int, n: int, hid: int = 64,
     return _tile_within_budget(e, per_edge)
 
 
-def _onehots(src_ref, dst_ref, n: int, dtype):
+def _onehots_rows(src_row, dst_row, n: int, dtype):
     """Masked src/dst one-hot tiles [N, T] built in VMEM from PRE-MASKED
-    index rows (padded edges carry index N, which matches no iota row, so
-    the masking costs nothing here — no [N,T] mask multiply, no mask
-    operand DMA; the VPU passes over [N,T] are the forward kernel's
+    index ROWS [1, T] (padded edges carry index N, which matches no iota
+    row, so the masking costs nothing here — no [N,T] mask multiply, no
+    mask operand DMA; the VPU passes over [N,T] are the forward kernel's
     biggest non-dot cost).
 
     Formulated as f32 arithmetic (compare -> f32 -> cast) rather than a
@@ -149,17 +162,21 @@ def _onehots(src_ref, dst_ref, n: int, dtype):
     the (16,128) bf16 tiling a select would need (measured compile
     failure: "Non-singleton logical dimension is replicated in
     destination but not in source")."""
-    t = src_ref.shape[-1]
+    t = src_row.shape[-1]
     if ONEHOT_SKIP_PROBE:
         z = jnp.full((n, t), 0.001, dtype)
         return z, z
     rows = jax.lax.broadcasted_iota(jnp.int32, (n, t), 0)
     if ONEHOT_DIRECT_CAST:
-        return ((rows == src_ref[0]).astype(dtype),
-                (rows == dst_ref[0]).astype(dtype))
-    s_src = (rows == src_ref[0]).astype(jnp.float32)       # [N, T] f32
-    s_dst = (rows == dst_ref[0]).astype(jnp.float32)
+        return ((rows == src_row).astype(dtype),
+                (rows == dst_row).astype(dtype))
+    s_src = (rows == src_row).astype(jnp.float32)          # [N, T] f32
+    s_dst = (rows == dst_row).astype(jnp.float32)
     return s_src.astype(dtype), s_dst.astype(dtype)
+
+
+def _onehots(src_ref, dst_ref, n: int, dtype):
+    return _onehots_rows(src_ref[0], dst_ref[0], n, dtype)
 
 
 def _gather(bundle, s, dtype):
@@ -171,15 +188,25 @@ def _gather(bundle, s, dtype):
 
 def _mega_fwd_kernel(src_ref, dst_ref, ef_ref, h_ref, x_ref,
                      w1ab_ref, w2_ref, wc1_ref, small_ref,
-                     out_ref, a1_ref, xd_ref, *, hid: int):
+                     out_ref, a1_ref, xd_ref, *, hid: int, inner: int = 1):
     """One-hots, NODE-level L1 projections (trivial [N,F]@[F,H] dots — the
     per-cell cost is ~2% of the gathers, and keeping them in-kernel means
     no pa/pb node tensor and none of its Pallas-boundary layout copies
-    ever exist in HBM), gathers, geometry, MLP chain, aggregation."""
+    ever exist in HBM), gathers, geometry, MLP chain, aggregation.
+
+    ``inner`` > 1 unrolls the body over edge SUB-tiles (see MEGA_INNER):
+    the sub-tile bodies are independent straight-line chains except for
+    the final f32 aggregation add, letting the scheduler overlap VPU
+    one-hot builds with MXU dots across sub-tiles."""
     dtype = h_ref.dtype
     n = h_ref.shape[1]
     f = h_ref.shape[2]
-    s_src, s_dst = _onehots(src_ref, dst_ref, n, dtype)
+    t_full = src_ref.shape[-1]
+    # sub-tiles must keep lane-aligned 128-multiples; fall back to 1 if
+    # the shape doesn't divide (tiny test shapes)
+    k_eff = inner if (inner > 1 and t_full % inner == 0
+                      and (t_full // inner) % 128 == 0) else 1
+    ts = t_full // k_eff
     w1ab = w1ab_ref[...].astype(dtype)
     h = h_ref[0]
     pa = jax.lax.dot_general(                               # [N, H]
@@ -188,35 +215,41 @@ def _mega_fwd_kernel(src_ref, dst_ref, ef_ref, h_ref, x_ref,
     pb = jax.lax.dot_general(
         h, w1ab[f:], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dtype)
-    ga = _gather(pa, s_src, dtype)                          # [H, T]
-    gb = _gather(pb, s_dst, dtype)
-    # coordinates are consumed only as x_src - x_dst: one [3,T] dot
-    # against the DIFFERENCE of the one-hots. (Measured alternative: two
-    # separate [3,T] dots regressed the step ~0.1 ms — the extra dot
-    # setup outweighs the saved [N,T] VPU subtract.)
-    if DIFF_BF16:
-        sdiff = s_src - s_dst       # exact: one-hot values are {-1, 0, 1}
-    else:
-        sdiff = (s_src.astype(jnp.float32)
-                 - s_dst.astype(jnp.float32)).astype(dtype)
-    xd = _gather(x_ref[0], sdiff, dtype)                    # [3, T]
-    rad_b, radf, inv_s = _geometry(xd)
     smf = small_ref[...].astype(jnp.float32)
-    a1 = (ga.astype(jnp.float32) + gb.astype(jnp.float32)
-          + smf[:, _W1R:_W1R + 1] * rad_b.astype(jnp.float32)
-          + smf[:, _W1E:_W1E + 1] * ef_ref[0].astype(jnp.float32)
-          + smf[:, _B1:_B1 + 1])
-    ch = _chain_from_a1(a1, w2_ref[...], wc1_ref[...], smf, dtype)
-    x_hat = xd.astype(jnp.float32) * inv_s
-    msgx = (ch.cw.astype(dtype).astype(jnp.float32) * x_hat).astype(dtype)
-    both = jnp.concatenate([ch.m, msgx], axis=0)           # [H+3, T]
-    part = jax.lax.dot_general(                            # [N, H+3] f32
-        s_dst, both, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    # residuals for the backward: the L1 pre-activation + coordinate
-    # diffs let the backward skip the gathers entirely
-    a1_ref[0] = ch.a1.astype(dtype)
-    xd_ref[0] = xd
+    part = None
+    for k in range(k_eff):
+        sl = pl.ds(k * ts, ts)
+        s_src, s_dst = _onehots_rows(src_ref[0, :, sl], dst_ref[0, :, sl],
+                                     n, dtype)
+        ga = _gather(pa, s_src, dtype)                      # [H, Ts]
+        gb = _gather(pb, s_dst, dtype)
+        # coordinates are consumed only as x_src - x_dst: one [3,Ts] dot
+        # against the DIFFERENCE of the one-hots. (Measured alternative:
+        # two separate [3,Ts] dots regressed the step ~0.1 ms — the extra
+        # dot setup outweighs the saved [N,T] VPU subtract.)
+        if DIFF_BF16:
+            sdiff = s_src - s_dst   # exact: one-hot values are {-1, 0, 1}
+        else:
+            sdiff = (s_src.astype(jnp.float32)
+                     - s_dst.astype(jnp.float32)).astype(dtype)
+        xd = _gather(x_ref[0], sdiff, dtype)                # [3, Ts]
+        rad_b, radf, inv_s = _geometry(xd)
+        a1 = (ga.astype(jnp.float32) + gb.astype(jnp.float32)
+              + smf[:, _W1R:_W1R + 1] * rad_b.astype(jnp.float32)
+              + smf[:, _W1E:_W1E + 1] * ef_ref[0, :, sl].astype(jnp.float32)
+              + smf[:, _B1:_B1 + 1])
+        ch = _chain_from_a1(a1, w2_ref[...], wc1_ref[...], smf, dtype)
+        x_hat = xd.astype(jnp.float32) * inv_s
+        msgx = (ch.cw.astype(dtype).astype(jnp.float32) * x_hat).astype(dtype)
+        both = jnp.concatenate([ch.m, msgx], axis=0)        # [H+3, Ts]
+        sub = jax.lax.dot_general(                          # [N, H+3] f32
+            s_dst, both, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        part = sub if part is None else part + sub
+        # residuals for the backward: the L1 pre-activation + coordinate
+        # diffs let the backward skip the gathers entirely
+        a1_ref[0, :, sl] = ch.a1.astype(dtype)
+        xd_ref[0, :, sl] = xd
 
     @pl.when(pl.program_id(1) == 0)
     def _():
@@ -446,7 +479,7 @@ def _mega_fwd_call(src, dst, emask, ef, h, x, w1ab, w2, wc1, small,
     in_specs = [row, row, row, _node_spec(n, f), _node_spec(n, 3)] + [
         _whole_spec(w.shape) for w in (w1ab, w2, wc1, small)]
     return pl.pallas_call(
-        functools.partial(_mega_fwd_kernel, hid=hid),
+        functools.partial(_mega_fwd_kernel, hid=hid, inner=MEGA_INNER),
         grid=grid, in_specs=in_specs,
         out_specs=[_node_spec(n, hid + 3),
                    pl.BlockSpec((1, hid, t), lambda i, j: (i, 0, j),
@@ -644,7 +677,7 @@ def _edge_half_bwd(src, dst, emask, ef, h, x, w1ab, w2, wc1, small,
     the edge-MLP tail backward from the saved a1/xd residuals. The L1
     projection backward (dW1a/dW1b and d_h) runs at NODE level in XLA.
     Shared by edge_mega's VJP and the whole-stack kernel's per-layer
-    backward (ops/pallas_stack.py). Returns
+    backward (ops/experimental/pallas_stack.py). Returns
     (d_ef [B,E,1], d_h, d_x, dw1ab, dw2, dwc1, dsmall)."""
     dtype = h.dtype
     n = h.shape[1]

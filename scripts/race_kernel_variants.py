@@ -10,9 +10,11 @@ Usage: python scripts/race_kernel_variants.py [--edges 2560]
 Variant names (see VARIANTS + set_flags): base / diff16 / cast / stacked
 (mega one-hot + backward-einsum micro-forms), inkernel (v7 whole-backward
 kernel), dboth (v7a aggregation-transpose-in-kernel), stack (whole-stack
-kernel, ops/pallas_stack.py), split / concat (node-MLP first-matmul
-formulations), skipprobe (TIMING ONLY, wrong numerics: one-hot builds
-replaced by a constant), fused (the pallas_edge control).
+kernel, ops/experimental/pallas_stack.py), split / concat (node-MLP first-matmul
+formulations), inner2 / inner4 (v8 sub-tiled forward: VPU one-hot builds
+overlap MXU dots across unrolled sub-tiles), skipprobe (TIMING ONLY,
+wrong numerics: one-hot builds replaced by a constant), fused (the
+pallas_edge control).
 """
 
 from __future__ import annotations
@@ -39,6 +41,8 @@ VARIANTS = {
     "dboth": (False, True, False, False),
     "split": (False, True, False, False),
     "concat": (False, True, False, False),
+    "inner2": (False, True, False, False),
+    "inner4": (False, True, False, False),
 }
 
 
@@ -47,15 +51,16 @@ def set_flags(pm, v):
     variant's deviation — called for every variant including 'fused', so
     no variant inherits another's globals (order-independence)."""
     from immunostruct_tpu.ops import egnn as _eg
-    from immunostruct_tpu.ops import pallas_stack as pstk
+    from immunostruct_tpu.ops.experimental import pallas_stack as pstk
     (pm.ONEHOT_DIRECT_CAST, pm.DIFF_BF16, pm.BWD_STACKED,
      pm.BWD_INKERNEL_NODES) = VARIANTS.get(v, VARIANTS["diff16"])
     pm.ONEHOT_SKIP_PROBE = v == "skipprobe"
+    pm.MEGA_INNER = {"inner2": 2, "inner4": 4}.get(v, 1)
     pm.BWD_DBOTH_INKERNEL = v == "dboth"
     pstk.STACK_ENABLE = v == "stack"
     # production default is the concat node MLP (egnn.NODE_SPLIT_DOT doc)
     _eg.NODE_SPLIT_DOT = v == "split"
-    # 'stack' = whole-stack kernel (ops/pallas_stack.py); every other
+    # 'stack' = whole-stack kernel (ops/experimental/pallas_stack.py); every other
     # mega variant forces the per-layer kernel
     pstk.STACK_ENABLE = v == "stack"
 

@@ -7,6 +7,8 @@ gradients wrt every parameter and input. Tolerances are f32-roundoff
 scale, as tests/test_pallas_edge.py.
 """
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -14,6 +16,8 @@ import numpy as np
 from immunostruct_tpu.ops import egnn as eg
 from immunostruct_tpu.ops.pallas_mega import mega_pick_tile
 
+
+pytestmark = pytest.mark.slow  # excluded from the core lane (-m 'not slow')
 
 def _toy(b=3, n=24, e=128, seed=0):
     rng = np.random.default_rng(seed)
@@ -196,3 +200,30 @@ def test_mega_bf16_close_to_f32():
     l16 = _loss(cast(params), cast(h), cast(x), esrc, edst,
                 cast(efeat), emask, "mega")
     np.testing.assert_allclose(float(l16), float(l32), rtol=0.05)
+
+
+def test_mega_inner_subtiling_matches():
+    """MEGA_INNER>1 (v8 sub-tiled forward: unrolled per-sub-tile bodies so
+    VPU one-hot builds can overlap MXU dots) must match the single-pass
+    forward and its gradients; the only numeric delta is the f32 add chain
+    on the aggregation partials."""
+    from immunostruct_tpu.ops import pallas_mega as pm
+    saved = pm.MEGA_INNER
+    try:
+        params, *args = _toy(e=512, seed=3)
+        pm.MEGA_INNER = 1
+        l1, g1 = jax.value_and_grad(_loss)(params, *args, "mega")
+        for inner in (2, 4):
+            pm.MEGA_INNER = inner
+            l2, g2 = jax.value_and_grad(_loss)(params, *args, "mega")
+            np.testing.assert_allclose(float(l2), float(l1),
+                                       rtol=1e-6, atol=1e-8)
+            for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-5, atol=1e-6)
+        # non-dividing sub-tile shapes fall back to a single pass
+        pm.MEGA_INNER = 3
+        l3, _ = jax.value_and_grad(_loss)(params, *args, "mega")
+        np.testing.assert_allclose(float(l3), float(l1), rtol=1e-6, atol=1e-8)
+    finally:
+        pm.MEGA_INNER = saved
