@@ -80,6 +80,14 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="opt into per-microbatch contrastive statistics when "
                         "combining --coeff-contrastive with "
                         "--grad-accum-steps > 1 (otherwise an error)")
+    p.add_argument("--collapse-detection", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="watch pretrain val AUROC and warn loudly if the "
+                        "classifier flatlines at chance (the seed-sensitive "
+                        "pretrain failure, benchmarks/RESULTS.md)")
+    p.add_argument("--reinit-on-collapse", action="store_true",
+                   help="when the collapse guard fires, restart the pretrain "
+                        "stage from a re-folded init (up to 2 retries)")
     return p
 
 

@@ -95,6 +95,12 @@ class Config:
     stack_twins: object = None
     # explicit opt-in: contrastive statistics per microbatch under grad accum
     allow_microbatch_contrastive: bool = False
+    # pretrain-collapse guard (observed: flagship seed-2 pretrain flatlined
+    # at chance with all-negative predictions, benchmarks/RESULTS.md
+    # seed-variance section). Detection always warns; reinit_on_collapse
+    # additionally restarts the stage from a re-folded init (max 2 retries).
+    collapse_detection: bool = True
+    reinit_on_collapse: bool = False
 
     # derived (filled by `derive_paths`)
     model_save_path_pretrain: str = ""

@@ -25,6 +25,7 @@ from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from immunostruct_tpu.models.trunk import (
@@ -36,6 +37,52 @@ from immunostruct_tpu.utils.contrastive import (
     paired_contrastive_init, paired_contrastive_loss,
 )
 from immunostruct_tpu.utils.checkpoint import save_checkpoint
+
+
+class PretrainCollapse(RuntimeError):
+    """Raised by ``Trainer.fit`` when the collapse guard fires and the
+    caller opted into restart (``raise_on_fire``)."""
+
+    def __init__(self, epoch: int, val_auc: float, window: int):
+        super().__init__(
+            f"pretrain collapse: val AUROC at chance ({val_auc:.3f}) for "
+            f"{window} consecutive epochs (epoch {epoch + 1})")
+        self.epoch = epoch
+        self.val_auc = val_auc
+
+
+@dataclasses.dataclass
+class CollapseGuard:
+    """Detects the flatlined-at-chance pretrain failure mode.
+
+    Observed at flagship seed 2 (benchmarks/RESULTS.md seed-variance
+    section): the 40+40 recipe sat at train ROC ~0.56 with all-negative
+    predictions for the whole pretrain. The VAE branch keeps improving the
+    combined loss while the classifier is dead, so loss alone cannot
+    detect it — the guard watches per-epoch **val AUROC** instead (the
+    logits are already computed by the val loss pass; reusing them is
+    free). Fires when AUROC stays within ``chance_band`` of 0.5 for
+    ``window`` consecutive epochs after ``min_epoch``.
+    """
+
+    window: int = 8           # consecutive at-chance epochs to fire
+    chance_band: float = 0.07 # |AUROC - 0.5| below this counts as chance
+    min_epoch: int = 6        # ignore the initial epochs
+    raise_on_fire: bool = False
+
+    _streak: int = dataclasses.field(default=0, init=False)
+    fired: bool = dataclasses.field(default=False, init=False)
+
+    def observe(self, epoch: int, val_auc: float) -> bool:
+        """Record one epoch; returns True the first time the guard fires."""
+        if epoch < self.min_epoch:
+            return False
+        at_chance = abs(val_auc - 0.5) < self.chance_band
+        self._streak = self._streak + 1 if at_chance else 0
+        if self._streak >= self.window and not self.fired:
+            self.fired = True
+            return True
+        return False
 
 
 @dataclasses.dataclass
@@ -145,7 +192,9 @@ class Trainer:
                           step=jnp.zeros((), jnp.int32))
 
     # -- loss ----------------------------------------------------------------
-    def _batch_loss(self, params: dict, batch, rng: jax.Array, deterministic: bool):
+    def _batch_loss_aux(self, params: dict, batch, rng: jax.Array,
+                        deterministic: bool):
+        """(loss, (logits, target)); the aux pair feeds the collapse guard."""
         if isinstance(batch, ComparativeBatch):
             c, w = batch.cancer, batch.wt
             out_c, out_w, logits = model_apply_comparative(
@@ -165,15 +214,19 @@ class Trainer:
                 loss = loss + self.coeff_contrastive * paired_contrastive_loss(
                     params["contrastive_projector"], out_c.embedding,
                     out_w.embedding, c.target)
-            return loss
+            return loss, (logits, c.target)
         out = model_apply(params, self.spec, batch.graph, batch.seq_onehot,
                           batch.props, rng, deterministic=deterministic,
                           aggregation=self.aggregation,
                           compute_dtype=self.compute_dtype,
                           scan_layers=self.scan_layers, mp=self.mp)
-        return self.loss_fn(out.recon, batch.seq_onehot, out.mu, out.logvar,
+        loss = self.loss_fn(out.recon, batch.seq_onehot, out.mu, out.logvar,
                             out.logits, batch.target,
                             node_logits=out.node_logits, residue=batch.aux_residue)
+        return loss, (out.logits, batch.target)
+
+    def _batch_loss(self, params: dict, batch, rng: jax.Array, deterministic: bool):
+        return self._batch_loss_aux(params, batch, rng, deterministic)[0]
 
     # -- steps ---------------------------------------------------------------
     def _loss_and_grads(self, params, batch, rng):
@@ -213,18 +266,23 @@ class Trainer:
                           step=state.step + 1), loss
 
     def _eval_step_impl(self, params: dict, batch, rng: jax.Array):
-        return self._batch_loss(params, batch, rng, True)
+        return self._batch_loss_aux(params, batch, rng, True)
 
     # -- epoch loop ------------------------------------------------------------
     def fit(self, state: TrainState, train_pipe, val_pipe, num_epochs: int,
             rng: jax.Array, ckpt_path: Optional[str] = None,
             log_fn: Optional[Callable[[dict], None]] = None,
-            verbose: bool = True, resume_path: Optional[str] = None):
+            verbose: bool = True, resume_path: Optional[str] = None,
+            collapse_guard: Optional[CollapseGuard] = None):
         """Best-val-checkpointed training. Returns (state, history).
 
         ``resume_path``: optional full-state snapshot file; when it exists,
         training continues from the saved epoch (params + optimizer state +
         best-val tracker) — within-stage resume the reference lacks.
+
+        ``collapse_guard``: optional at-chance-AUROC detector (see
+        CollapseGuard). Warns loudly when it fires; raises PretrainCollapse
+        instead when the guard has ``raise_on_fire`` set.
         """
         from immunostruct_tpu.utils.checkpoint import (
             save_resume_state, load_resume_state,
@@ -253,12 +311,48 @@ class Trainer:
             train_loss /= max(n_train, 1)
 
             val_loss, n_val = 0.0, 0
+            val_logits, val_targets = [], []
             for i, batch in enumerate(val_pipe.epoch(epoch)):
                 batch = self._shard(batch)
-                val_loss += float(self._eval_step(
-                    state.params, batch, jax.random.fold_in(eval_rng, i)))
+                loss, (logits, target) = self._eval_step(
+                    state.params, batch, jax.random.fold_in(eval_rng, i))
+                val_loss += float(loss)
                 n_val += 1
+                if collapse_guard is not None:
+                    val_logits.append(np.asarray(logits).ravel())
+                    val_targets.append(np.asarray(target).ravel())
             val_loss /= max(n_val, 1)
+
+            if collapse_guard is not None and n_val:
+                from immunostruct_tpu.procedures.metrics import roc_auc_score
+                t, s = np.concatenate(val_targets), np.concatenate(val_logits)
+                # soft-target stages (foreignness pretrain, binary=False —
+                # the stage that actually collapsed at flagship seed 2):
+                # median-split the targets so the guard watches the same
+                # rank signal ("train ROC" in the RESULTS.md observation)
+                uniq = np.unique(t)
+                y = (t > 0.5) if np.isin(uniq, (0.0, 1.0)).all() \
+                    else (t > np.median(t))
+                # single-class val targets make AUROC meaningless: record
+                # nan and do NOT feed the guard (no spurious streaks)
+                two_class = len(np.unique(y)) > 1
+                val_auc = roc_auc_score(y, s) if two_class else float("nan")
+                history.setdefault("val_auc", []).append(val_auc)
+                if two_class and collapse_guard.observe(epoch, val_auc):
+                    msg = (f"COLLAPSE GUARD: val AUROC at chance "
+                           f"({val_auc:.3f}) for {collapse_guard.window} "
+                           f"consecutive epochs at epoch {epoch + 1} — the "
+                           "classifier head has flatlined (known seed-"
+                           "sensitive pretrain failure, benchmarks/"
+                           "RESULTS.md). Consider --reinit-on-collapse, a "
+                           "different seed, or a lower pretrain LR.")
+                    print(msg)
+                    if log_fn:
+                        log_fn({"epoch": epoch, "collapse_detected": True,
+                                "val_auc": val_auc})
+                    if collapse_guard.raise_on_fire:
+                        raise PretrainCollapse(epoch, val_auc,
+                                               collapse_guard.window)
 
             if val_loss < lowest_val:
                 lowest_val = val_loss
@@ -382,7 +476,6 @@ def train_model(config, spec: ModelSpec, params: dict, train_pipe, val_pipe,
                           stack_twins=resolve_stack_twins(config),
                           allow_microbatch_contrastive=getattr(
                               config, "allow_microbatch_contrastive", False))
-    state = trainer.init_state(params, rng)
     ckpt = (config.model_save_path_pretrain if stage == "pretrain"
             else config.model_save_path_finetune)
     # stage-unique snapshot names: multi-pretrain curricula share the
@@ -390,9 +483,39 @@ def train_model(config, spec: ModelSpec, params: dict, train_pipe, val_pipe,
     # not resume an earlier one with the wrong state
     suffix = f".{resume_tag}.resume" if resume_tag else ".resume"
     resume_path = (ckpt + suffix) if getattr(config, "resume", False) else None
-    state, history = trainer.fit(state, train_pipe, val_pipe, config.num_epochs,
-                                 rng, ckpt_path=ckpt, log_fn=log_fn,
-                                 verbose=verbose, resume_path=resume_path)
+
+    # collapse guard: pretrain stages only (the observed failure mode;
+    # finetune starts from a trained trunk). Soft-target pretrains are
+    # watched via a median-split AUROC (see fit); binary ones directly.
+    reinit = bool(getattr(config, "reinit_on_collapse", False))
+    guard_on = (stage == "pretrain"
+                and bool(getattr(config, "collapse_detection", True)))
+    max_attempts = 3 if (guard_on and reinit) else 1
+
+    for attempt in range(max_attempts):
+        guard = (CollapseGuard(raise_on_fire=reinit and attempt < max_attempts - 1)
+                 if guard_on else None)
+        attempt_rng = jax.random.fold_in(rng, attempt) if attempt else rng
+        state = trainer.init_state(params, attempt_rng)
+        try:
+            state, history = trainer.fit(
+                state, train_pipe, val_pipe, config.num_epochs, attempt_rng,
+                ckpt_path=ckpt, log_fn=log_fn, verbose=verbose,
+                resume_path=resume_path, collapse_guard=guard)
+            break
+        except PretrainCollapse as e:
+            # re-fold the init key and restart the stage from scratch
+            # (reference has no equivalent; VERDICT r3 item 4)
+            from immunostruct_tpu.models.trunk import model_init
+            if verbose:
+                print(f"{e} — re-initializing (attempt {attempt + 2}/"
+                      f"{max_attempts})")
+            if log_fn:
+                log_fn({"collapse_reinit": True, "attempt": attempt + 1})
+            params = model_init(
+                jax.random.fold_in(attempt_rng, 0xC011AD5E), spec,
+                loss_cfg.vae_input_dim,
+                dtype=jax.tree.leaves(params)[0].dtype)
     return state.params, history
 
 

@@ -223,3 +223,98 @@ class TestSchedule:
         # cosine decays monotonically after warmup
         assert all(a >= b - 1e-12 for a, b in zip(lrs[10:], lrs[11:]))
         assert lrs[-1] < 1e-4
+
+
+class TestCollapseGuard:
+    """Pretrain-collapse detection (VERDICT r3 item 4): the flagship seed-2
+    failure mode is a classifier flatlined at chance AUROC while the VAE
+    branch keeps the combined loss moving — so the guard watches per-epoch
+    val AUROC, not loss."""
+
+    def test_observe_fires_after_window_at_chance(self):
+        from immunostruct_tpu.procedures.train import CollapseGuard
+        g = CollapseGuard(window=4, chance_band=0.07, min_epoch=2)
+        fired = [g.observe(e, 0.51) for e in range(10)]
+        # epochs 0-1 ignored; streak starts at 2, fires once at epoch 5
+        assert fired == [False] * 5 + [True] + [False] * 4
+        assert g.fired
+
+    def test_observe_streak_resets_on_signal(self):
+        from immunostruct_tpu.procedures.train import CollapseGuard
+        g = CollapseGuard(window=3, chance_band=0.07, min_epoch=0)
+        assert not any(g.observe(e, a) for e, a in
+                       enumerate([0.52, 0.50, 0.65, 0.51, 0.49]))
+        assert g.observe(5, 0.53)  # third consecutive at-chance epoch
+
+    def test_train_model_reinit_on_collapse(self, corpus, tmp_path,
+                                            monkeypatch, capsys):
+        """With an always-at-chance guard, train_model restarts the stage
+        twice (re-folded inits) and the final attempt warns instead of
+        raising."""
+        import immunostruct_tpu.procedures.train as train_mod
+        from immunostruct_tpu.procedures.train import CollapseGuard
+
+        real_guard = CollapseGuard
+        monkeypatch.setattr(
+            train_mod, "CollapseGuard",
+            lambda raise_on_fire: real_guard(
+                window=1, chance_band=1.0, min_epoch=0,
+                raise_on_fire=raise_on_fire))
+
+        gd, pp, hp = corpus
+        cfg = tiny_config(tmp_path, model="SequenceFpModel",
+                          sequence_loss=False, reinit_on_collapse=True)
+        ds = ImmunoDataset.load(cfg, gd, pp, hp)
+        tr, va, _ = seeded_split(len(ds), (0.8, 0.1, 0.1), cfg.seed)
+        vae_dim = _vae_dim(ds, False)
+        spec, params = build_model(cfg.model, vae_dim, jax.random.key(0))
+        loss_cfg = LossConfig(vae_dim, 1.0, sequence=False)
+        mk = lambda idx, split: BatchPipeline(ds, idx, split=split, binary=True,
+                                              full=False, config=cfg)
+        events = []
+        params, hist = train_model(cfg, spec, params, mk(tr, "train"),
+                                   mk(va, "val"), loss_cfg, binary=True,
+                                   learning_rate=1e-3, stage="pretrain",
+                                   verbose=True, log_fn=events.append)
+        out = capsys.readouterr().out
+        assert out.count("re-initializing") == 2  # attempts 2 and 3
+        assert "COLLAPSE GUARD" in out            # final attempt warns
+        assert sum(1 for e in events if e.get("collapse_reinit")) == 2
+        # the last attempt still completes the full stage
+        assert len(hist["train_loss"]) == cfg.num_epochs
+        assert "val_auc" in hist
+
+    def test_finetune_stage_has_no_guard(self, corpus, tmp_path):
+        """Guard applies to pretrain only: finetune history has no val_auc."""
+        gd, pp, hp = corpus
+        cfg = tiny_config(tmp_path, model="SequenceFpModel", sequence_loss=False)
+        ds = ImmunoDataset.load(cfg, gd, pp, hp)
+        tr, va, _ = seeded_split(len(ds), (0.8, 0.1, 0.1), cfg.seed)
+        vae_dim = _vae_dim(ds, False)
+        spec, params = build_model(cfg.model, vae_dim, jax.random.key(0))
+        loss_cfg = LossConfig(vae_dim, 1.0, sequence=False)
+        mk = lambda idx, split: BatchPipeline(ds, idx, split=split, binary=True,
+                                              full=False, config=cfg)
+        _, hist = train_model(cfg, spec, params, mk(tr, "train"), mk(va, "val"),
+                              loss_cfg, binary=True, learning_rate=1e-3,
+                              stage="finetune", verbose=False)
+        assert "val_auc" not in hist
+
+    def test_soft_target_pretrain_watches_median_split_auc(self, corpus, tmp_path):
+        """The stage that actually collapsed (foreignness pretrain,
+        binary=False) is guarded too: history gains a val_auc trace from
+        the median-split rank signal."""
+        gd, pp, hp = corpus
+        cfg = tiny_config(tmp_path, model="SequenceFpModel", sequence_loss=False)
+        ds = ImmunoDataset.load(cfg, gd, pp, hp)
+        tr, va, _ = seeded_split(len(ds), (0.8, 0.1, 0.1), cfg.seed)
+        vae_dim = _vae_dim(ds, False)
+        spec, params = build_model(cfg.model, vae_dim, jax.random.key(0))
+        loss_cfg = LossConfig(vae_dim, 1.0, sequence=False)
+        mk = lambda idx, split: BatchPipeline(ds, idx, split=split, binary=False,
+                                              full=False, config=cfg)
+        _, hist = train_model(cfg, spec, params, mk(tr, "train"), mk(va, "val"),
+                              loss_cfg, binary=False, learning_rate=1e-3,
+                              stage="pretrain", verbose=False)
+        assert len(hist["val_auc"]) == cfg.num_epochs
+        assert all(0.0 <= a <= 1.0 or np.isnan(a) for a in hist["val_auc"])
