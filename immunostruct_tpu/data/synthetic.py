@@ -28,11 +28,19 @@ def _random_seq(rng, length: int) -> str:
     return "".join(rng.choice(list(AMINO_ACIDS), length))
 
 
-def _make_graph(rng, seq: str, knn: int = 4):
+def _make_graph(rng, seq: str, knn: int = 4, compact_tail: int = 0,
+                tail_scale: float = 0.5):
     n = len(seq)
     t = np.arange(n, dtype=np.float32)
     coords = np.stack([np.cos(t * 0.6), np.sin(t * 0.6), 0.5 * t], -1)
     coords = coords + 0.3 * rng.standard_normal((n, 3)).astype(np.float32)
+    if compact_tail:
+        # pull the last `compact_tail` residues (the peptide) toward their
+        # centroid: a pure-coordinate perturbation — node features and the
+        # rest of the generator are untouched, so any model that recovers it
+        # must be reading geometry (used by the geometric learnability test)
+        tail = coords[n - compact_tail:]
+        coords[n - compact_tail:] = tail.mean(0) + tail_scale * (tail - tail.mean(0))
 
     onehot = np.zeros((n, 20), np.float32)
     for i, ch in enumerate(seq):
@@ -70,7 +78,8 @@ def _hla_table(root: str, rng, hla_len: int, shared_hla_path=None):
 def synthetic_corpus(root: str, num_samples: int = 32, hla_len: int = 48,
                      pep_len_range=(8, 11), seed: int = 0,
                      cancer: bool = False, positive_rate: float = 0.4,
-                     shared_hla_path=None, planted_signal: bool = False):
+                     shared_hla_path=None, planted_signal: bool = False,
+                     geometric_signal: bool = False):
     """Write a synthetic (graph dir, property tsv, hla csv) trio.
 
     Returns (graph_dir, property_path, hla_path). Pass ``shared_hla_path``
@@ -82,7 +91,17 @@ def synthetic_corpus(root: str, num_samples: int = 32, hla_len: int = 48,
     foreignness correlates with the same statistic, and Mprop1 carries a
     noisy copy — so sequence-, property-, and structure-branch models can
     all recover signal (used by the learnability tests).
+
+    ``geometric_signal=True`` plants a signal ONLY in the coordinates:
+    immunogenicity = [peptide tail is compacted around its centroid], with
+    sequence, properties, and foreignness all label-independent random.
+    This isolates the E(n) machinery (reference raison d'être:
+    immunostruct/models/hybrid_models.py:29-31): structure-reading models
+    can recover the label, sequence/property-only models provably cannot.
+    Mutually exclusive with ``planted_signal``.
     """
+    if planted_signal and geometric_signal:
+        raise ValueError("planted_signal and geometric_signal are exclusive")
     rng = np.random.default_rng(seed)
     tag = "Cancer" if cancer else "IEDB"
     graph_dir = os.path.join(root, f"graph_pyg_{tag}")
@@ -96,10 +115,16 @@ def synthetic_corpus(root: str, num_samples: int = 32, hla_len: int = 48,
         pep = _random_seq(rng, int(rng.integers(*pep_len_range)))
         chain = hla_seqs[allele] + pep
         key = chain[-99:] + "_" + get_hash(chain)[:5]
-        x, coords, ei = _make_graph(rng, chain)
+        geo_label = int(rng.random() < 0.5) if geometric_signal else 0
+        x, coords, ei = _make_graph(
+            rng, chain, compact_tail=len(pep) if geo_label else 0)
         save_graph_npz(os.path.join(graph_dir, f"g{i:04d}.npz"),
                        name=f"synImmuno{key}", x=x, coords=coords, edge_index=ei)
-        if planted_signal:
+        if geometric_signal:
+            immuno = geo_label
+            foreign = float(rng.random())
+            mprop1 = float(rng.random())
+        elif planted_signal:
             hydrophobic = sum(c in "AVLIMFWPY" for c in pep) / len(pep)
             immuno = int(hydrophobic > 0.45)
             foreign = float(np.clip(hydrophobic + 0.1 * rng.standard_normal(), 0, 1))
