@@ -18,6 +18,8 @@ import pytest
 
 from immunostruct_tpu.parallel.mesh import shard_indices_for_process
 
+pytestmark = pytest.mark.slow  # excluded from the core lane (-m 'not slow')
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -64,19 +66,26 @@ def test_two_process_step_matches_single_process():
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=300)
+            out, _ = p.communicate(timeout=900)  # + TP shard_map compile
             outs.append(out)
     finally:
         for p in procs:
             if p.poll() is None:
                 p.kill()
 
-    losses = []
+    losses, tp_losses = [], []
     for i, (p, out) in enumerate(zip(procs, outs)):
         m = re.search(r"MULTIHOST_LOSS=([-\d.]+)", out)
         assert p.returncode == 0 and m, f"worker {i} failed:\n{out[-3000:]}"
         losses.append(float(m.group(1)))
+        mtp = re.search(r"MULTIHOST_TP_LOSS=([-\d.]+)", out)
+        assert mtp, f"worker {i} missing TP leg:\n{out[-3000:]}"
+        tp_losses.append(float(mtp.group(1)))
     assert losses[0] == pytest.approx(losses[1], abs=1e-9)
+    # TP x DP leg: model axis within-process, data axis across processes;
+    # each worker already asserted TP==its own dense eval, here both
+    # processes must agree on the global TP loss
+    assert tp_losses[0] == pytest.approx(tp_losses[1], abs=1e-9)
 
     # single-process reference on this process's 8 virtual devices
     import jax
