@@ -243,6 +243,36 @@ def main():
         share_after = measure_pool_share(peak_cal)
         share = (share + share_after) / 2.0
 
+    # production-recipe step (VERDICT r3 item 5): the flagship cancer
+    # finetune trains HybridModelv2_Comparative with the contrastive term
+    # (train_Cancer_wFT.py:145-173) — twin forwards over cancer/WT pairs.
+    # Driver-visible so README's recipe throughput claim is harness-checked.
+    comparative_pps = None
+    comparative_ms = None
+    if platform == "tpu":
+        from immunostruct_tpu.structs import ComparativeBatch
+        spec_c, params_c = build_model("HybridModelv2_Comparative", vae_dim,
+                                       jax.random.key(0))
+        trainer_c = Trainer(spec_c, loss_cfg, binary=True,
+                            optimizer=make_optimizer("adam", constant_lr(1e-3)),
+                            aggregation="auto", compute_dtype=compute_dtype,
+                            coeff_contrastive=0.1, donate=True)
+        state_c = trainer_c.init_state(params_c)
+        cbatch = ComparativeBatch(cancer=batch, wt=build_inputs())
+        for _ in range(3):
+            state_c, loss_c = trainer_c._train_step(state_c, cbatch, key)
+        float(loss_c)
+        cdts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(40):
+                state_c, loss_c = trainer_c._train_step(state_c, cbatch, key)
+            float(loss_c)
+            cdts.append(time.perf_counter() - t0)
+        comparative_ms = statistics.median(cdts) / 40 * 1e3
+        comparative_pps = BATCH / (comparative_ms / 1e3)
+        del state_c, trainer_c
+
     # secondary: the same step at realistic corpus edge counts (shorter
     # window; labeled clearly in the output)
     realistic_sps = None
@@ -300,6 +330,12 @@ def main():
         "ms_per_step_realistic_edges": (
             round(realistic_ms, 3) if realistic_ms else None),
         "realistic_edges": EDGES_REALISTIC if realistic_sps else None,
+        # the flagship recipe's own step (comparative twin + contrastive,
+        # B=128 cancer/WT pairs at the conservative shape)
+        "pairs_per_sec_comparative": (
+            round(comparative_pps, 1) if comparative_pps else None),
+        "ms_per_step_comparative": (
+            round(comparative_ms, 3) if comparative_ms else None),
         "n_params": n_params,
         "device": getattr(device, "device_kind", platform),
     }

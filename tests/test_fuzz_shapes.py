@@ -12,6 +12,8 @@ from immunostruct_tpu.models import build_model
 from immunostruct_tpu.models.trunk import model_apply
 
 
+pytestmark = pytest.mark.slow  # excluded from the core lane (-m 'not slow')
+
 @pytest.mark.parametrize("seed", [101, 202, 303, 404])
 def test_random_configs(seed, tmp_path):
     rng = np.random.default_rng(seed)

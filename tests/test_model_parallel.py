@@ -26,6 +26,11 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 import pytest
+
+# the full TP/PP flagship steps are multi-minute cold compiles on the
+# 8-virtual-device CPU mesh; the driver's dryrun_multichip exercises the
+# same path every round, so the core lane can skip them
+pytestmark = pytest.mark.slow
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 

@@ -15,6 +15,8 @@ from immunostruct_tpu.ops import egnn as eg
 from immunostruct_tpu.ops.pallas_edge import edge_program, pack_params, pick_tile
 
 
+pytestmark = pytest.mark.slow  # excluded from the core lane (-m 'not slow')
+
 def _toy(b=3, n=24, e=128, seed=0):
     rng = np.random.default_rng(seed)
     h = jnp.asarray(rng.standard_normal((b, n, 20)).astype(np.float32))

@@ -10,6 +10,8 @@ substitute for running the actual reference (DGL is not installed).
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # excluded from the core lane (-m 'not slow')
+
 torch = pytest.importorskip("torch")
 
 import jax
