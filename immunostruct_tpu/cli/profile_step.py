@@ -33,6 +33,10 @@ def main(argv=None):
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--logdir", default="/tmp/immuno_profile")
+    ap.add_argument("--occupancy", action="store_true",
+                    help="also print device-idle analysis: busy vs span per "
+                         "step and the largest inter-op bubbles (the "
+                         "overlap-gap evidence, benchmarks/RESULTS.md)")
     args = ap.parse_args(argv)
 
     import jax
@@ -72,6 +76,23 @@ def main(argv=None):
           f"device_total={total:.2f} ms/step")
     for ms, label in rows[:args.top]:
         print(f"{ms:9.3f} ms/step  {label}")
+
+    if args.occupancy:
+        # serialization analysis of the same trace (VERDICT r3 item 2:
+        # how much of the step is device-idle bubbles between ops?)
+        import os
+
+        from immunostruct_tpu.utils.attribution import (
+            load_trace_timeline, occupancy,
+        )
+        tl = load_trace_timeline(os.path.join(args.logdir,
+                                              "_attribution_run"))
+        occ = occupancy(tl, args.steps)
+        print(f"# occupancy: span={occ['span_ms']:.2f} ms/step "
+              f"busy={occ['busy_ms']:.2f} idle={occ['idle_ms']:.2f} "
+              f"({occ['idle_frac']:.1%} idle)")
+        for gap_ms, after, before in occ["gaps"]:
+            print(f"  gap {gap_ms:7.3f} ms  after {after}  ->  {before}")
 
 
 if __name__ == "__main__":

@@ -62,3 +62,28 @@ def test_profile_fn_runs_and_threads_state(tmp_path):
     # (sorted [(ms, label)] tuples) must hold either way
     for ms, label in rows:
         assert ms >= 0 and isinstance(label, str)
+
+
+def test_occupancy_busy_union_and_gaps():
+    from immunostruct_tpu.utils.attribution import occupancy
+
+    # two steps of [op a][gap 100us][op b overlapping op c] over 2 steps:
+    # span 1000us, busy = (200) + (250) + (200) + (250) = 900us... build
+    # explicitly: a:[0,200], b:[300,500], c:[400,550], a2:[600,800],
+    # b2:[900,1000]  -> busy union = 200+250+200+100 = 750, span = 1000
+    tl = [(0.0, 200.0, "a"), (300.0, 500.0, "b"), (400.0, 550.0, "c"),
+          (600.0, 800.0, "a"), (900.0, 1000.0, "b")]
+    occ = occupancy(tl, steps=2)
+    assert occ["span_ms"] == 0.5          # 1000us / 2 steps
+    assert occ["busy_ms"] == 0.375        # 750us / 2
+    assert abs(occ["idle_frac"] - 0.25) < 1e-12
+    # gaps sorted descending: 100us (a->b twice) and 50us (c->a)
+    assert [round(g, 4) for g, _, _ in occ["gaps"]] == [0.1, 0.1, 0.05]
+    assert occ["gaps"][0][1:] in {("a", "b"), ("c", "a")}
+
+
+def test_occupancy_empty_timeline():
+    from immunostruct_tpu.utils.attribution import occupancy
+
+    occ = occupancy([], steps=5)
+    assert occ["span_ms"] == 0.0 and occ["gaps"] == []
