@@ -121,6 +121,16 @@ MEGA_INNER = 1              # v8 (VERDICT r3 item 2, the overlap gap): split
                             # tile. Numerics: identical math, one extra
                             # f32 add chain on the aggregation partials
                             # (roundoff-level; parity-tested). 1 = off.
+MEGA_TAIL_INNER = 1         # v8b: same sub-tiling for the BACKWARD tail
+                            # kernel. Its body alternates long VPU chains
+                            # (silu grads, geometry backward) with MXU
+                            # dots (w2/wc1 transposes, weight-grad outer
+                            # products); unrolled sub-tile bodies are
+                            # independent except for the f32 weight-grad
+                            # accumulation, so the scheduler can overlap
+                            # sub-tile k+1's VPU chain with sub-tile k's
+                            # dots. Numerics: weight grads gain one f32
+                            # add chain (roundoff-level; parity-tested).
 
 
 def _tile_within_budget(e: int, per_edge_bytes: int) -> int:
@@ -266,30 +276,45 @@ def _mega_fwd_kernel(src_ref, dst_ref, ef_ref, h_ref, x_ref,
 def _tail_bwd_kernel(ef_ref, w2_ref, wc1_ref, small_ref,
                      a1_ref, xd_ref, dout_ref,
                      dcat_ref, def_ref,
-                     dw2_ref, dwc1_ref, dsmall_ref, *, hid: int):
+                     dw2_ref, dwc1_ref, dsmall_ref, *, hid: int,
+                     inner: int = 1):
     """Backward of the edge-program TAIL only, from the saved residuals.
 
     The gather/aggregation halves of the backward run as XLA one-hot
     einsums in _edge_mega_bwd (measured 60-76% MXU utilization there vs
     ~40% for the same dots inside a kernel — the v1-v3 all-in-kernel
-    backward variants lost to the hybrid, benchmarks/RESULTS.md)."""
-    _tail_bwd_core(ef_ref, w2_ref, wc1_ref, small_ref, a1_ref, xd_ref,
-                   dout_ref[0], dcat_ref, def_ref, dw2_ref, dwc1_ref,
-                   dsmall_ref, hid=hid)
+    backward variants lost to the hybrid, benchmarks/RESULTS.md).
+
+    ``inner`` > 1 unrolls the body over edge sub-tiles (MEGA_TAIL_INNER),
+    the backward mirror of the forward's v8 sub-tiling."""
+    t_full = a1_ref.shape[-1]
+    k_eff = inner if (inner > 1 and t_full % inner == 0
+                      and (t_full // inner) % 128 == 0) else 1
+    ts = t_full // k_eff
+    w2 = w2_ref[...]
+    wc1 = wc1_ref[...]
+    small = small_ref[...]
+    for k in range(k_eff):
+        sl = pl.ds(k * ts, ts)
+        _tail_bwd_core(ef_ref[0, :, sl], w2, wc1, small,
+                       a1_ref[0, :, sl], xd_ref[0, :, sl],
+                       dout_ref[0, :, sl], dcat_ref, def_ref,
+                       dw2_ref, dwc1_ref, dsmall_ref, hid=hid, sl=sl,
+                       zero_init=k == 0)
 
 
-def _chain_bwd(ef_ref, w2_ref, wc1_ref, small_ref, a1_ref, xd_ref,
+def _chain_bwd(ef, w2, wc1, small, a1_in, xd,
                d_both, *, hid: int):
     """Backward of the edge-MLP chain from the saved a1/xd residuals and
-    the incoming aggregate cotangent d_both [H+3, T]. Returns everything
-    the callers store or feed into the weight-grad dots — shared by the
-    production tail kernel and the flag-gated v7/v7a variants."""
-    dtype = a1_ref.dtype
-    xd = xd_ref[0]                                          # [3, T]
+    the incoming aggregate cotangent d_both [H+3, T]. Takes plain ARRAYS
+    (callers slice their refs, so sub-tiled kernels reuse it unchanged).
+    Returns everything the callers store or feed into the weight-grad
+    dots — shared by the production tail kernel and the flag-gated v7/v7a
+    variants."""
+    dtype = a1_in.dtype
     rad_b, radf, inv_s = _geometry(xd)
-    smf = small_ref[...].astype(jnp.float32)
-    ch = _chain_from_a1(a1_ref[0].astype(jnp.float32), w2_ref[...],
-                        wc1_ref[...], smf, dtype)
+    smf = small.astype(jnp.float32)
+    ch = _chain_from_a1(a1_in.astype(jnp.float32), w2, wc1, smf, dtype)
     a1, s1, a1s, p2, s2, m, p3, s3, c1, cw = ch
     xdf = xd.astype(jnp.float32)
     x_hat = xdf * inv_s
@@ -302,9 +327,9 @@ def _chain_bwd(ef_ref, w2_ref, wc1_ref, small_ref, a1_ref, xd_ref,
     d_xhat = d_msgx * cw_b
     d_c1 = smf[:, _WC2:_WC2 + 1] * d_cw
     d_p3 = (d_c1 * _silu_grad(p3, s3)).astype(dtype)
-    d_m = d_m_in.astype(jnp.float32) + _dot_noT(wc1_ref[...], d_p3, dtype)
+    d_m = d_m_in.astype(jnp.float32) + _dot_noT(wc1, d_p3, dtype)
     d_p2 = (d_m * _silu_grad(p2, s2)).astype(dtype)
-    d_a1s = _dot_noT(w2_ref[...], d_p2, dtype)
+    d_a1s = _dot_noT(w2, d_p2, dtype)
     d_a1 = (d_a1s * _silu_grad(a1, s1)).astype(dtype)
     d_a1f = d_a1.astype(jnp.float32)
 
@@ -319,18 +344,25 @@ def _chain_bwd(ef_ref, w2_ref, wc1_ref, small_ref, a1_ref, xd_ref,
                    keepdims=True).astype(dtype)
     return dict(d_a1=d_a1, d_xd=d_xd, d_ef=d_ef, d_a1f=d_a1f,
                 d_p2=d_p2, d_p3=d_p3, d_cw=d_cw,
-                a1s=a1s, m=m, c1=c1, rad_b=rad_b, ef=ef_ref[0])
+                a1s=a1s, m=m, c1=c1, rad_b=rad_b, ef=ef)
 
 
-def _accum_weight_grads(dw2_ref, dwc1_ref, dsmall_ref, v):
-    """f32 weight-grad accumulation in revisited output blocks."""
-    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+def _accum_weight_grads(dw2_ref, dwc1_ref, dsmall_ref, v,
+                        zero_init: bool = True):
+    """f32 weight-grad accumulation in revisited output blocks.
 
-    @pl.when(first)
-    def _():
-        dw2_ref[...] = jnp.zeros_like(dw2_ref)
-        dwc1_ref[...] = jnp.zeros_like(dwc1_ref)
-        dsmall_ref[...] = jnp.zeros_like(dsmall_ref)
+    ``zero_init=False`` skips the first-grid-cell zeroing — used by
+    sub-tiled callers for every sub-tile after the first (the zeroing must
+    run exactly once per output block, not once per sub-tile)."""
+    if zero_init:
+        first = jnp.logical_and(pl.program_id(0) == 0,
+                                pl.program_id(1) == 0)
+
+        @pl.when(first)
+        def _():
+            dw2_ref[...] = jnp.zeros_like(dw2_ref)
+            dwc1_ref[...] = jnp.zeros_like(dwc1_ref)
+            dsmall_ref[...] = jnp.zeros_like(dsmall_ref)
 
     # Six individual weight-grad dots. (Measured alternative: packing
     # them into three one-panel dots via 128-row concat stacks regressed
@@ -353,21 +385,23 @@ def _accum_weight_grads(dw2_ref, dwc1_ref, dsmall_ref, v):
     dsmall_ref[...] += jnp.concatenate([d3, db2, dbc1, dwc2], axis=1)
 
 
-def _tail_bwd_core(ef_ref, w2_ref, wc1_ref, small_ref,
-                   a1_ref, xd_ref, d_both,
+def _tail_bwd_core(ef, w2, wc1, small, a1, xd, d_both,
                    dcat_ref, def_ref,
-                   dw2_ref, dwc1_ref, dsmall_ref, *, hid: int):
-    v = _chain_bwd(ef_ref, w2_ref, wc1_ref, small_ref, a1_ref, xd_ref,
-                   d_both, hid=hid)
+                   dw2_ref, dwc1_ref, dsmall_ref, *, hid: int, sl,
+                   zero_init: bool = True):
+    """Tail backward for one (sub-)tile: inputs are plain arrays already
+    sliced to ``sl``; outputs store into the refs at ``sl``."""
+    v = _chain_bwd(ef, w2, wc1, small, a1, xd, d_both, hid=hid)
     # d_a1 and d_xd leave as ONE [H+3, T] tensor (slice stores, no VPU
     # concat) so the caller's gather transposes read it in ONE pass per
     # one-hot side — two C=H+3 einsums instead of three (d_pa, d_pb,
     # d_x-over-(S_src-S_dst)), deleting a whole [B,N,E] one-hot-build +
     # dot fusion from the backward.
-    dcat_ref[0, :hid] = v["d_a1"]
-    dcat_ref[0, hid:] = v["d_xd"]
-    def_ref[0] = v["d_ef"]
-    _accum_weight_grads(dw2_ref, dwc1_ref, dsmall_ref, v)
+    dcat_ref[0, :hid, sl] = v["d_a1"]
+    dcat_ref[0, hid:, sl] = v["d_xd"]
+    def_ref[0, :, sl] = v["d_ef"]
+    _accum_weight_grads(dw2_ref, dwc1_ref, dsmall_ref, v,
+                        zero_init=zero_init)
 
 
 def _tail_bwd_kernel_db(dst_ref, ef_ref, w2_ref, wc1_ref, small_ref,
@@ -388,9 +422,10 @@ def _tail_bwd_kernel_db(dst_ref, ef_ref, w2_ref, wc1_ref, small_ref,
     d_both = jax.lax.dot_general(                           # [H+3, T]
         g_ref[0], s_dst, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dtype)
-    _tail_bwd_core(ef_ref, w2_ref, wc1_ref, small_ref, a1_ref, xd_ref,
-                   d_both, dcat_ref, def_ref, dw2_ref, dwc1_ref,
-                   dsmall_ref, hid=hid)
+    _tail_bwd_core(ef_ref[0], w2_ref[...], wc1_ref[...], small_ref[...],
+                   a1_ref[0], xd_ref[0], d_both, dcat_ref, def_ref,
+                   dw2_ref, dwc1_ref, dsmall_ref, hid=hid,
+                   sl=pl.ds(0, t))
 
 
 def _tail_bwd_kernel_v7(src_ref, dst_ref, ef_ref, w2_ref, wc1_ref,
@@ -410,8 +445,8 @@ def _tail_bwd_kernel_v7(src_ref, dst_ref, ef_ref, w2_ref, wc1_ref,
     d_both = jax.lax.dot_general(                           # [H+3, T]
         g_ref[0], s_dst, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dtype)
-    v = _chain_bwd(ef_ref, w2_ref, wc1_ref, small_ref, a1_ref, xd_ref,
-                   d_both, hid=hid)
+    v = _chain_bwd(ef_ref[0], w2_ref[...], wc1_ref[...], small_ref[...],
+                   a1_ref[0], xd_ref[0], d_both, hid=hid)
 
     # node-space contraction IN-KERNEL: d_nodes[src|dst] = S @ d_cat^T
     d_cat = jnp.concatenate([v["d_a1"], v["d_xd"]], axis=0)  # [H+3, T]
@@ -528,7 +563,8 @@ def _tail_bwd_call(ef, w2, wc1, small, a1, xd, d_both, interpret):
         jax.ShapeDtypeStruct(small.shape, jnp.float32),
     ]
     return pl.pallas_call(
-        functools.partial(_tail_bwd_kernel, hid=hid),
+        functools.partial(_tail_bwd_kernel, hid=hid,
+                          inner=MEGA_TAIL_INNER),
         grid=grid, in_specs=in_specs,
         out_specs=out_specs, out_shape=out_shape,
         # weight-grad whole-blocks accumulate across BOTH grid dims

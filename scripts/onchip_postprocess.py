@@ -70,8 +70,12 @@ def handle_race() -> list[str]:
     out.write_text(json.dumps(race, indent=1) + "\n")
     changed = [str(out.relative_to(REPO))]
 
+    # variant name -> (MEGA_INNER, MEGA_TAIL_INNER)
+    flags = {"inner2": (2, 1), "inner4": (4, 1),
+             "tinner2": (1, 2), "tinner4": (1, 4),
+             "combo22": (2, 2), "combo44": (4, 4)}
     base = race.get("diff16")
-    inners = {v: race[v] for v in ("inner2", "inner4") if v in race}
+    inners = {v: race[v] for v in flags if v in race}
     if not base or not inners:
         print("race_v8.log: missing diff16 control or inner variants")
         return changed
@@ -86,19 +90,23 @@ def handle_race() -> list[str]:
         print("no adoption (below margin or loss mismatch)")
         return changed
 
-    inner_n = int(win_name.removeprefix("inner"))
+    fwd_n, tail_n = flags[win_name]
     mega = REPO / "immunostruct_tpu" / "ops" / "pallas_mega.py"
     src = mega.read_text()
-    new_src, n = re.subn(r"^MEGA_INNER = \d+",
-                         f"MEGA_INNER = {inner_n}", src, count=1,
-                         flags=re.MULTILINE)
-    if n != 1:
-        print("MEGA_INNER line not found; no adoption")
+    new_src, n1 = re.subn(r"^MEGA_INNER = \d+",
+                          f"MEGA_INNER = {fwd_n}", src, count=1,
+                          flags=re.MULTILINE)
+    new_src, n2 = re.subn(r"^MEGA_TAIL_INNER = \d+",
+                          f"MEGA_TAIL_INNER = {tail_n}", new_src, count=1,
+                          flags=re.MULTILINE)
+    if n1 != 1 or n2 != 1:
+        print("MEGA_INNER/MEGA_TAIL_INNER lines not found; no adoption")
         return changed
     mega.write_text(new_src)
     parity = subprocess.run(
         [sys.executable, "-m", "pytest", "-q", "-x",
          "tests/test_pallas_mega.py::test_mega_inner_subtiling_matches",
+         "tests/test_pallas_mega.py::test_mega_tail_inner_subtiling_matches",
          "tests/test_pallas_mega.py::test_mega_matches_onehot_forward_and_grads"],
         cwd=REPO, env=CPU_ENV, capture_output=True, text=True,
         timeout=1800)

@@ -12,7 +12,9 @@ Variant names (see VARIANTS + set_flags): base / diff16 / cast / stacked
 kernel), dboth (v7a aggregation-transpose-in-kernel), stack (whole-stack
 kernel, ops/experimental/pallas_stack.py), split / concat (node-MLP first-matmul
 formulations), inner2 / inner4 (v8 sub-tiled forward: VPU one-hot builds
-overlap MXU dots across unrolled sub-tiles), skipprobe (TIMING ONLY,
+overlap MXU dots across unrolled sub-tiles), tinner2 / tinner4 (v8b:
+same sub-tiling for the backward tail kernel), combo22 / combo44 (both
+kernels sub-tiled), skipprobe (TIMING ONLY,
 wrong numerics: one-hot builds replaced by a constant), fused (the
 pallas_edge control).
 """
@@ -43,6 +45,10 @@ VARIANTS = {
     "concat": (False, True, False, False),
     "inner2": (False, True, False, False),
     "inner4": (False, True, False, False),
+    "tinner2": (False, True, False, False),
+    "tinner4": (False, True, False, False),
+    "combo22": (False, True, False, False),
+    "combo44": (False, True, False, False),
 }
 
 
@@ -55,7 +61,10 @@ def set_flags(pm, v):
     (pm.ONEHOT_DIRECT_CAST, pm.DIFF_BF16, pm.BWD_STACKED,
      pm.BWD_INKERNEL_NODES) = VARIANTS.get(v, VARIANTS["diff16"])
     pm.ONEHOT_SKIP_PROBE = v == "skipprobe"
-    pm.MEGA_INNER = {"inner2": 2, "inner4": 4}.get(v, 1)
+    pm.MEGA_INNER = {"inner2": 2, "inner4": 4,
+                     "combo22": 2, "combo44": 4}.get(v, 1)
+    pm.MEGA_TAIL_INNER = {"tinner2": 2, "tinner4": 4,
+                          "combo22": 2, "combo44": 4}.get(v, 1)
     pm.BWD_DBOTH_INKERNEL = v == "dboth"
     pstk.STACK_ENABLE = v == "stack"
     # production default is the concat node MLP (egnn.NODE_SPLIT_DOT doc)

@@ -227,3 +227,33 @@ def test_mega_inner_subtiling_matches():
         np.testing.assert_allclose(float(l3), float(l1), rtol=1e-6, atol=1e-8)
     finally:
         pm.MEGA_INNER = saved
+
+
+def test_mega_tail_inner_subtiling_matches():
+    """MEGA_TAIL_INNER>1 (v8b sub-tiled backward tail: unrolled sub-tile
+    bodies so the chain-backward VPU work can overlap the transpose /
+    weight-grad MXU dots) must match the single-pass backward; the only
+    numeric delta is the f32 add chain on the weight-grad accumulators.
+    Also covers the fwd+tail combination (both sub-tiled)."""
+    from immunostruct_tpu.ops import pallas_mega as pm
+    saved = (pm.MEGA_INNER, pm.MEGA_TAIL_INNER)
+    try:
+        params, *args = _toy(e=512, seed=5)
+        pm.MEGA_INNER, pm.MEGA_TAIL_INNER = 1, 1
+        l1, g1 = jax.value_and_grad(_loss)(params, *args, "mega")
+        for fwd_inner, tail_inner in ((1, 2), (1, 4), (2, 2), (4, 4)):
+            pm.MEGA_INNER, pm.MEGA_TAIL_INNER = fwd_inner, tail_inner
+            l2, g2 = jax.value_and_grad(_loss)(params, *args, "mega")
+            np.testing.assert_allclose(float(l2), float(l1),
+                                       rtol=1e-6, atol=1e-8)
+            for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-5, atol=1e-6)
+        # non-dividing sub-tile shapes fall back to a single pass
+        pm.MEGA_INNER, pm.MEGA_TAIL_INNER = 1, 3
+        l3, g3 = jax.value_and_grad(_loss)(params, *args, "mega")
+        np.testing.assert_allclose(float(l3), float(l1), rtol=1e-6,
+                                   atol=1e-8)
+        del g3
+    finally:
+        pm.MEGA_INNER, pm.MEGA_TAIL_INNER = saved
