@@ -71,9 +71,15 @@ def handle_race() -> list[str]:
     changed = [str(out.relative_to(REPO))]
 
     # variant name -> (MEGA_INNER, MEGA_TAIL_INNER)
-    flags = {"inner2": (2, 1), "inner4": (4, 1),
-             "tinner2": (1, 2), "tinner4": (1, 4),
-             "combo22": (2, 2), "combo44": (4, 4)}
+    def subtile_factors(v: str):
+        if m := re.fullmatch(r"inner(\d+)", v):
+            return int(m.group(1)), 1
+        if m := re.fullmatch(r"tinner(\d+)", v):
+            return 1, int(m.group(1))
+        if m := re.fullmatch(r"combo(\d)(\d)", v):
+            return int(m.group(1)), int(m.group(2))
+        return None
+    flags = {v: f for v in race if (f := subtile_factors(v))}
     base = race.get("diff16")
     inners = {v: race[v] for v in flags if v in race}
     if not base or not inners:

@@ -43,13 +43,21 @@ VARIANTS = {
     "dboth": (False, True, False, False),
     "split": (False, True, False, False),
     "concat": (False, True, False, False),
-    "inner2": (False, True, False, False),
-    "inner4": (False, True, False, False),
-    "tinner2": (False, True, False, False),
-    "tinner4": (False, True, False, False),
-    "combo22": (False, True, False, False),
-    "combo44": (False, True, False, False),
 }
+
+
+def _subtile_factors(v: str) -> tuple[int, int]:
+    """(MEGA_INNER, MEGA_TAIL_INNER) for 'innerN' / 'tinnerN' / 'comboNM'
+    variant names; (1, 1) for everything else. Any factor whose sub-tile
+    is not a 128-multiple falls back to 1 inside the kernel."""
+    import re
+    if m := re.fullmatch(r"inner(\d+)", v):
+        return int(m.group(1)), 1
+    if m := re.fullmatch(r"tinner(\d+)", v):
+        return 1, int(m.group(1))
+    if m := re.fullmatch(r"combo(\d)(\d)", v):
+        return int(m.group(1)), int(m.group(2))
+    return 1, 1
 
 
 def set_flags(pm, v):
@@ -61,10 +69,7 @@ def set_flags(pm, v):
     (pm.ONEHOT_DIRECT_CAST, pm.DIFF_BF16, pm.BWD_STACKED,
      pm.BWD_INKERNEL_NODES) = VARIANTS.get(v, VARIANTS["diff16"])
     pm.ONEHOT_SKIP_PROBE = v == "skipprobe"
-    pm.MEGA_INNER = {"inner2": 2, "inner4": 4,
-                     "combo22": 2, "combo44": 4}.get(v, 1)
-    pm.MEGA_TAIL_INNER = {"tinner2": 2, "tinner4": 4,
-                          "combo22": 2, "combo44": 4}.get(v, 1)
+    pm.MEGA_INNER, pm.MEGA_TAIL_INNER = _subtile_factors(v)
     pm.BWD_DBOTH_INKERNEL = v == "dboth"
     pstk.STACK_ENABLE = v == "stack"
     # production default is the concat node MLP (egnn.NODE_SPLIT_DOT doc)
