@@ -76,6 +76,8 @@ def handle_race() -> list[str]:
             return int(m.group(1)), 1
         if m := re.fullmatch(r"tinner(\d+)", v):
             return 1, int(m.group(1))
+        if m := re.fullmatch(r"combo(\d+)x(\d+)", v):
+            return int(m.group(1)), int(m.group(2))
         if m := re.fullmatch(r"combo(\d)(\d)", v):
             return int(m.group(1)), int(m.group(2))
         return None
@@ -127,9 +129,24 @@ def handle_race() -> list[str]:
     return changed
 
 
+def handle_race_record(log_name: str, out_name: str) -> list[str]:
+    """Record a secondary race JSON (e.g. the realistic-shape E=1408 race)
+    WITHOUT driving adoption: the global default stays tuned for the
+    bench headline shape, and a factor valid only at one shape (11 at
+    E=1408) would silently disable sub-tiling at the other."""
+    race = last_json_line(ONCHIP / log_name)
+    if not race:
+        return []
+    out = REPO / "benchmarks" / out_name
+    out.write_text(json.dumps(race, indent=1) + "\n")
+    print(f"{log_name}: recorded -> {out}")
+    return [str(out.relative_to(REPO))]
+
+
 def main() -> None:
     changed = handle_bench("bench.log", "bench_r04_local.json")
     changed += handle_race()
+    changed += handle_race_record("race_1408.log", "bench_r04_race1408.json")
     changed += handle_bench("bench_post.log", "bench_r04_local.json")
     if not changed:
         return

@@ -48,13 +48,17 @@ VARIANTS = {
 
 def _subtile_factors(v: str) -> tuple[int, int]:
     """(MEGA_INNER, MEGA_TAIL_INNER) for 'innerN' / 'tinnerN' / 'comboNM'
-    variant names; (1, 1) for everything else. Any factor whose sub-tile
-    is not a 128-multiple falls back to 1 inside the kernel."""
+    / 'comboNxM' variant names; (1, 1) for everything else. Any factor
+    whose sub-tile is not a 128-multiple falls back to 1 inside the
+    kernel (e.g. inner2 at E=1408: 704 is not a 128-multiple — the only
+    valid factor there is 11)."""
     import re
     if m := re.fullmatch(r"inner(\d+)", v):
         return int(m.group(1)), 1
     if m := re.fullmatch(r"tinner(\d+)", v):
         return 1, int(m.group(1))
+    if m := re.fullmatch(r"combo(\d+)x(\d+)", v):
+        return int(m.group(1)), int(m.group(2))
     if m := re.fullmatch(r"combo(\d)(\d)", v):
         return int(m.group(1)), int(m.group(2))
     return 1, 1

@@ -257,3 +257,30 @@ def test_mega_tail_inner_subtiling_matches():
         del g3
     finally:
         pm.MEGA_INNER, pm.MEGA_TAIL_INNER = saved
+
+
+def test_mega_inner_non_pow2_factor_matches():
+    """Non-power-of-2 sub-tile factors engage whenever the sub-tile stays
+    a 128-multiple (e.g. factor 3 at T=1152 -> 384). This is the shape
+    class the realistic corpus pad E=1408 = 11 x 128 needs (its only
+    valid factor is 11), exercised here at an interpreter-affordable
+    size."""
+    from immunostruct_tpu.ops import pallas_mega as pm
+    saved = (pm.MEGA_INNER, pm.MEGA_TAIL_INNER)
+    try:
+        params, *args = _toy(b=2, e=1152, seed=7)
+        pm.MEGA_INNER, pm.MEGA_TAIL_INNER = 1, 1
+        l1, g1 = jax.value_and_grad(_loss)(params, *args, "mega")
+        pm.MEGA_INNER, pm.MEGA_TAIL_INNER = 3, 3
+        l2, g2 = jax.value_and_grad(_loss)(params, *args, "mega")
+        np.testing.assert_allclose(float(l2), float(l1), rtol=1e-6,
+                                   atol=1e-8)
+        # tolerance covers the reordered-f32-add roundoff of the longer
+        # (11-deep at this shape class) accumulation chains: measured
+        # single-element deviations of ~6e-6 abs / 6e-5 rel; real bugs
+        # show O(1) mismatches across many elements
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+    finally:
+        pm.MEGA_INNER, pm.MEGA_TAIL_INNER = saved
