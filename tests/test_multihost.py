@@ -73,7 +73,7 @@ def test_two_process_step_matches_single_process():
             if p.poll() is None:
                 p.kill()
 
-    losses, tp_losses = [], []
+    losses, tp_losses, pp_losses = [], [], []
     for i, (p, out) in enumerate(zip(procs, outs)):
         m = re.search(r"MULTIHOST_LOSS=([-\d.]+)", out)
         assert p.returncode == 0 and m, f"worker {i} failed:\n{out[-3000:]}"
@@ -81,11 +81,18 @@ def test_two_process_step_matches_single_process():
         mtp = re.search(r"MULTIHOST_TP_LOSS=([-\d.]+)", out)
         assert mtp, f"worker {i} missing TP leg:\n{out[-3000:]}"
         tp_losses.append(float(mtp.group(1)))
+        mpp = re.search(r"MULTIHOST_PP_LOSS=([-\d.]+)", out)
+        assert mpp, f"worker {i} missing PP leg:\n{out[-3000:]}"
+        pp_losses.append(float(mpp.group(1)))
     assert losses[0] == pytest.approx(losses[1], abs=1e-9)
     # TP x DP leg: model axis within-process, data axis across processes;
     # each worker already asserted TP==its own dense eval, here both
     # processes must agree on the global TP loss
     assert tp_losses[0] == pytest.approx(tp_losses[1], abs=1e-9)
+    # GPipe leg: pipe axis spans the process boundary (stage 3 -> 4 hop
+    # rides gloo); each worker asserted PP==dense full-batch loss, here
+    # both processes must agree on the global pipeline loss
+    assert pp_losses[0] == pytest.approx(pp_losses[1], abs=1e-9)
 
     # single-process reference on this process's 8 virtual devices
     import jax
