@@ -143,11 +143,51 @@ def handle_race_record(log_name: str, out_name: str) -> list[str]:
     return [str(out.relative_to(REPO))]
 
 
+MARK_BEGIN = "<!-- onchip-r04:begin (auto-maintained, do not hand-edit) -->"
+MARK_END = "<!-- onchip-r04:end -->"
+
+
+def handle_results_append() -> list[str]:
+    """Maintain a marked raw-results section in benchmarks/RESULTS.md so
+    the on-chip evidence reaches the repo even if no interactive session
+    survives to write prose. Idempotent: the marked block is rewritten in
+    place from whatever queue logs exist."""
+    parts = []
+    for name, tail_n in (("bench", 1), ("race_v8", 12), ("race_1408", 8),
+                         ("bench_post", 1), ("occupancy", 18),
+                         ("geometric", 10), ("seeds23", 3)):
+        log = ONCHIP / f"{name}.log"
+        if not log.exists():
+            continue
+        lines = [ln for ln in log.read_text().splitlines() if ln.strip()]
+        parts.append(f"**{name}** (last {min(tail_n, len(lines))} lines of "
+                     f"`/tmp/onchip/{name}.log`):\n\n```\n"
+                     + "\n".join(lines[-tail_n:]) + "\n```")
+    if not parts:
+        return []
+    block = (f"{MARK_BEGIN}\n\n### Round-4 on-chip queue: raw results "
+             "(auto-appended by scripts/onchip_postprocess.py)\n\n"
+             + "\n\n".join(parts) + f"\n\n{MARK_END}\n")
+    results = REPO / "benchmarks" / "RESULTS.md"
+    text = results.read_text()
+    if MARK_BEGIN in text:
+        head, rest = text.split(MARK_BEGIN, 1)
+        _, tail = rest.split(MARK_END, 1)
+        text = head + block + tail.lstrip("\n")
+    else:
+        # insert right after the round-4 section header paragraph
+        text = text.rstrip() + "\n\n" + block
+    results.write_text(text)
+    print("RESULTS.md: on-chip raw-results block updated")
+    return [str(results.relative_to(REPO))]
+
+
 def main() -> None:
     changed = handle_bench("bench.log", "bench_r04_local.json")
     changed += handle_race()
     changed += handle_race_record("race_1408.log", "bench_r04_race1408.json")
     changed += handle_bench("bench_post.log", "bench_r04_local.json")
+    changed += handle_results_append()
     if not changed:
         return
     subprocess.run(["git", "add", "--"] + sorted(set(changed)), cwd=REPO,

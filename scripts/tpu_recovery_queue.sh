@@ -30,5 +30,7 @@ run race_1408   3600 python scripts/race_kernel_variants.py --edges 1408 --varia
 run postprocess3 2400 python scripts/onchip_postprocess.py
 run occupancy   1800 python -m immunostruct_tpu.cli.profile_step --occupancy --steps 20
 run geometric   2400 python scripts/geometric_signal.py --samples 512 --epochs 14
+run postprocess4 2400 python scripts/onchip_postprocess.py
 run seeds23    14400 python scripts/seed_sweep.py --recipe cancer --epochs 60 --seeds 2,3 --workdir /tmp/realdata
+run postprocess_final 2400 python scripts/onchip_postprocess.py
 echo "$(date -u +%FT%TZ) QUEUE_COMPLETE" >> /tmp/tpu_status.log
