@@ -24,7 +24,7 @@ from immunostruct_tpu.procedures.train import train_model
 from immunostruct_tpu.procedures.infer import inference
 from immunostruct_tpu.utils.checkpoint import load_checkpoint
 from immunostruct_tpu.utils.losses import LossConfig, pos_weight_from_counts
-from immunostruct_tpu.utils.logging import MetricLogger, stats_to_wandb
+from immunostruct_tpu.utils.logging import MetricLogger, stage_log_fn, stats_to_wandb
 from immunostruct_tpu.utils.schedule import linear_warmup_cosine_annealing
 from immunostruct_tpu.utils.seeding import seed_everything
 
@@ -93,9 +93,7 @@ def main(argv=None):
                             learning_rate=config.learning_rate_pretrain,
                             optimizer_name="adamw", weight_decay=config.weight_decay,
                             stage="pretrain", resume_tag="stage1",
-                            log_fn=lambda m: logger.log(
-                                {"pretrain_train_loss": m["train_loss"],
-                                 "pretrain_val_loss": m["val_loss"]}))
+                            log_fn=stage_log_fn(logger, "pretrain"))
     print("DONE PRE-TRAINING Stage 1")
 
     params = load_checkpoint(config.model_save_path_pretrain, params)
@@ -114,9 +112,7 @@ def main(argv=None):
                             optimizer_name="adamw", weight_decay=config.weight_decay,
                             stage="pretrain", resume_tag="stage2",
                             coeff_contrastive=config.coeff_contrastive,
-                            log_fn=lambda m: logger.log(
-                                {"pretrain2_train_loss": m["train_loss"],
-                                 "pretrain2_val_loss": m["val_loss"]}))
+                            log_fn=stage_log_fn(logger, "pretrain2"))
     print("DONE PRE-TRAINING Stage 2")
 
     params_like = params
@@ -137,9 +133,7 @@ def main(argv=None):
                             optimizer_name="adamw", weight_decay=config.weight_decay,
                             lr_schedule=schedule, stage="finetune",
                             coeff_contrastive=config.coeff_contrastive,
-                            log_fn=lambda m: logger.log(
-                                {"finetune_train_loss": m["train_loss"],
-                                 "finetune_val_loss": m["val_loss"]}))
+                            log_fn=stage_log_fn(logger, "finetune"))
     print("DONE FINE TUNING")
 
     params = load_checkpoint(config.model_save_path_finetune, params)

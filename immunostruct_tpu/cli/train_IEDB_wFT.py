@@ -21,7 +21,7 @@ from immunostruct_tpu.procedures.train import train_model
 from immunostruct_tpu.procedures.infer import inference
 from immunostruct_tpu.utils.checkpoint import load_checkpoint
 from immunostruct_tpu.utils.losses import LossConfig, pos_weight_from_counts
-from immunostruct_tpu.utils.logging import MetricLogger, stats_to_wandb
+from immunostruct_tpu.utils.logging import MetricLogger, stage_log_fn, stats_to_wandb
 from immunostruct_tpu.utils.seeding import seed_everything
 
 
@@ -69,9 +69,7 @@ def main(argv=None):
     params, _ = train_model(config, spec, params, train_pipe, val_pipe, loss_cfg,
                             binary=False, learning_rate=config.learning_rate_pretrain,
                             stage="pretrain",
-                            log_fn=lambda m: logger.log(
-                                {"pretrain_train_loss": m["train_loss"],
-                                 "pretrain_val_loss": m["val_loss"]}))
+                            log_fn=stage_log_fn(logger, "pretrain"))
     print("DONE PRE-TRAINING")
 
     # Stage transition: reload best checkpoint, fresh classifier head
@@ -83,9 +81,7 @@ def main(argv=None):
     params, _ = train_model(config, spec, params, train_pipe, val_pipe, loss_cfg,
                             binary=True, learning_rate=config.learning_rate_finetune,
                             weight_decay=1e-6, stage="finetune",
-                            log_fn=lambda m: logger.log(
-                                {"finetune_train_loss": m["train_loss"],
-                                 "finetune_val_loss": m["val_loss"]}))
+                            log_fn=stage_log_fn(logger, "finetune"))
     print("DONE FINE TUNING")
 
     params = load_checkpoint(config.model_save_path_finetune, params)

@@ -32,7 +32,7 @@ from immunostruct_tpu.procedures.train import train_model
 from immunostruct_tpu.procedures.infer import inference
 from immunostruct_tpu.utils.checkpoint import load_checkpoint
 from immunostruct_tpu.utils.losses import LossConfig, pos_weight_from_counts
-from immunostruct_tpu.utils.logging import MetricLogger, stats_to_wandb
+from immunostruct_tpu.utils.logging import MetricLogger, stage_log_fn, stats_to_wandb
 from immunostruct_tpu.utils.schedule import linear_warmup_cosine_annealing
 from immunostruct_tpu.utils.seeding import seed_everything
 
@@ -143,9 +143,7 @@ def main(argv=None):
             stage="finetune" if is_last else "pretrain",
             resume_tag=f"stage{i + 1}",
             coeff_contrastive=config.coeff_contrastive if comparative else 0.0,
-            log_fn=lambda m, s=stage: logger.log(
-                {f"{s}_train_loss": m["train_loss"],
-                 f"{s}_val_loss": m["val_loss"]}))
+            log_fn=stage_log_fn(logger, stage))
 
         ckpt = (config.model_save_path_finetune if is_last
                 else config.model_save_path_pretrain)

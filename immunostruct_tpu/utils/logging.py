@@ -40,6 +40,20 @@ class MetricLogger:
             self.wandb.finish()
 
 
+def stage_log_fn(logger: MetricLogger, stage_prefix: str):
+    """Per-stage ``log_fn`` for ``train_model``: prefixes the per-epoch
+    loss keys (wandb layout, train_IEDB_wFT.py:97-99) and passes every
+    other payload (collapse-guard events, re-init markers — dicts without
+    a ``train_loss`` key) through unprefixed instead of KeyError-ing."""
+    def log_fn(m: dict) -> None:
+        if "train_loss" in m:
+            logger.log({f"{stage_prefix}_train_loss": m["train_loss"],
+                        f"{stage_prefix}_val_loss": m["val_loss"]})
+        else:
+            logger.log({f"{stage_prefix}_{k}": v for k, v in m.items()})
+    return log_fn
+
+
 def stats_to_wandb(prefix: str, stats: dict) -> dict:
     """Final metric dump layout (train_IEDB_wFT.py:131-163)."""
     names = {
