@@ -42,9 +42,10 @@ class MetricLogger:
 
 def stage_log_fn(logger: MetricLogger, stage_prefix: str):
     """Per-stage ``log_fn`` for ``train_model``: prefixes the per-epoch
-    loss keys (wandb layout, train_IEDB_wFT.py:97-99) and passes every
-    other payload (collapse-guard events, re-init markers — dicts without
-    a ``train_loss`` key) through unprefixed instead of KeyError-ing."""
+    loss keys (wandb layout, train_IEDB_wFT.py:97-99); every other payload
+    (collapse-guard events, re-init markers — dicts without a ``train_loss``
+    key) is logged with the same stage prefix applied to each of its keys
+    instead of KeyError-ing."""
     def log_fn(m: dict) -> None:
         if "train_loss" in m:
             logger.log({f"{stage_prefix}_train_loss": m["train_loss"],
