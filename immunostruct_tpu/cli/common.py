@@ -88,6 +88,13 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--reinit-on-collapse", action="store_true",
                    help="when the collapse guard fires, restart the pretrain "
                         "stage from a re-folded init (up to 2 retries)")
+    p.add_argument("--pretrain-warmup-epochs", default=0, type=int,
+                   help="linear LR warmup (from lr/100) over this many "
+                        "epochs at the START of each pretrain stage, then "
+                        "constant at --learning-rate-pretrain. 0 = the "
+                        "reference's constant-LR pretrain. A recipe-level "
+                        "mitigation probe for the seed-sensitive pretrain "
+                        "collapse (benchmarks/RESULTS.md)")
     return p
 
 

@@ -88,9 +88,18 @@ def main(argv=None):
     mk1 = lambda idx, split: Pipe1(
         dataset_pt1, idx, split=split, binary=False, full=config.full_sequence,
         config=config, ssl=ssl)
+    # optional stage-1 warmup probe (--pretrain-warmup-epochs; the
+    # reference's pretrain stages run at constant LR)
+    pretrain_schedule = None
+    if config.pretrain_warmup_epochs > 0:
+        from immunostruct_tpu.utils.schedule import linear_warmup_constant
+        pretrain_schedule = linear_warmup_constant(
+            config.learning_rate_pretrain, config.pretrain_warmup_epochs,
+            warmup_start_lr=config.learning_rate_pretrain / 100)
     params, _ = train_model(config, spec, params, mk1(tr1, "train"), mk1(va1, "val"),
                             loss_cfg, binary=False,
                             learning_rate=config.learning_rate_pretrain,
+                            lr_schedule=pretrain_schedule,
                             optimizer_name="adamw", weight_decay=config.weight_decay,
                             stage="pretrain", resume_tag="stage1",
                             log_fn=stage_log_fn(logger, "pretrain"))

@@ -64,11 +64,18 @@ def main(argv=None):
             config=config, ssl=ssl)
         return mk(train_idx, "train"), mk(val_idx, "val"), mk(test_idx, "test")
 
-    # Stage 1: foreignness-regression pretrain (binary=False)
+    # Stage 1: foreignness-regression pretrain (binary=False); optional
+    # warmup probe (--pretrain-warmup-epochs; reference pretrain is constant)
+    pretrain_schedule = None
+    if config.pretrain_warmup_epochs > 0:
+        from immunostruct_tpu.utils.schedule import linear_warmup_constant
+        pretrain_schedule = linear_warmup_constant(
+            config.learning_rate_pretrain, config.pretrain_warmup_epochs,
+            warmup_start_lr=config.learning_rate_pretrain / 100)
     train_pipe, val_pipe, _ = pipes(binary=False)
     params, _ = train_model(config, spec, params, train_pipe, val_pipe, loss_cfg,
                             binary=False, learning_rate=config.learning_rate_pretrain,
-                            stage="pretrain",
+                            lr_schedule=pretrain_schedule, stage="pretrain",
                             log_fn=stage_log_fn(logger, "pretrain"))
     print("DONE PRE-TRAINING")
 

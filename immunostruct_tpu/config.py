@@ -101,6 +101,10 @@ class Config:
     # additionally restarts the stage from a re-folded init (max 2 retries).
     collapse_detection: bool = True
     reinit_on_collapse: bool = False
+    # linear LR warmup (lr/100 -> lr) over this many epochs at the start of
+    # each pretrain stage; 0 keeps the reference's constant-LR pretrain.
+    # Recipe-level collapse-mitigation probe (VERDICT r4 item 6).
+    pretrain_warmup_epochs: int = 0
 
     # derived (filled by `derive_paths`)
     model_save_path_pretrain: str = ""

@@ -35,3 +35,24 @@ def constant_lr(lr: float):
     def schedule(epoch):
         return jnp.asarray(lr, jnp.float32)
     return schedule
+
+
+def linear_warmup_constant(base_lr: float, warmup_epochs: int,
+                           warmup_start_lr: float = 0.0):
+    """Linear warmup to ``base_lr`` over ``warmup_epochs``, then constant.
+
+    Used by the --pretrain-warmup-epochs collapse-mitigation probe (the
+    reference's pretrain stages run at constant LR; warmup is this repo's
+    recipe-level answer to the seed-sensitive pretrain flatline,
+    benchmarks/RESULTS.md seed-variance section)."""
+
+    def schedule(epoch):
+        epoch = jnp.asarray(epoch, jnp.float32)
+        if warmup_epochs <= 0:
+            return jnp.asarray(base_lr, jnp.float32)
+        warm = warmup_start_lr + epoch * (base_lr - warmup_start_lr) / max(
+            1, warmup_epochs - 1)
+        return jnp.where(epoch < warmup_epochs, warm,
+                         jnp.asarray(base_lr, jnp.float32))
+
+    return schedule

@@ -33,18 +33,23 @@ def _run_iedb(args, seed):
         sys.exit(f"real-table corpus not found under {args.workdir}; "
                  "run scripts/structure_control.py (or realdata_e2e.py) first")
     from immunostruct_tpu.cli.train_IEDB_wFT import main as train_main
-    return train_main([
+    argv = [
         "--model", args.model,
         "--num-epochs", str(args.epochs),
         "--batch-size", str(args.batch_size),
         "--seed", str(seed),
         "--sequence-loss",
+        "--learning-rate-pretrain", str(args.lr_pretrain),
+        "--pretrain-warmup-epochs", str(args.pretrain_warmup_epochs),
         "--model-save-dir", os.path.join(args.workdir,
-                                         f"seed{seed}_{args.model}"),
+                                         f"seed{seed}_{args.model}_{args.tag}"),
         "--graph-dir-IEDB", graph_dir,
         "--property-path-IEDB", iedb_path,
         "--hla-path", HLA_PATH,
-    ])
+    ]
+    if args.reinit_on_collapse:
+        argv.append("--reinit-on-collapse")
+    return train_main(argv)
 
 
 def _run_cancer(args, seed):
@@ -59,17 +64,20 @@ def _run_cancer(args, seed):
         sys.exit(f"real-table corpus incomplete under {args.workdir} "
                  f"(missing {missing}); run scripts/realdata_e2e.py first")
     from immunostruct_tpu.cli.train_Cancer_wFT import main as train_main
-    return train_main([
+    argv = [
         "--model", "HybridModelv2_Comparative",
-        "--use-wt-for-downstream",
-        "--coeff-contrastive", "0.1",
+        "--coeff-contrastive", str(args.coeff_contrastive),
         "--num-epochs", str(args.epochs),
         "--batch-size", str(args.batch_size),
         "--seed", str(seed),
         "--sequence-loss",
         "--skip-clinical",
-        "--model-save-dir", os.path.join(args.workdir, f"seed{seed}_ckpt"),
-        "--figure-save-dir", os.path.join(args.workdir, f"seed{seed}_figs"),
+        "--learning-rate-pretrain", str(args.lr_pretrain),
+        "--pretrain-warmup-epochs", str(args.pretrain_warmup_epochs),
+        "--model-save-dir", os.path.join(args.workdir,
+                                         f"seed{seed}_ckpt_{args.tag}"),
+        "--figure-save-dir", os.path.join(args.workdir,
+                                          f"seed{seed}_figs_{args.tag}"),
         "--graph-dir-IEDB", graph_dir,
         "--graph-dir-cancer", graph_dir,
         "--graph-dir-wildtype", graph_dir,
@@ -77,7 +85,12 @@ def _run_cancer(args, seed):
         "--property-path-cancer", cancer_path,
         "--property-path-wildtype", wt_path,
         "--hla-path", HLA_PATH,
-    ])
+    ]
+    if args.use_wt_for_downstream:
+        argv.append("--use-wt-for-downstream")
+    if args.reinit_on_collapse:
+        argv.append("--reinit-on-collapse")
+    return train_main(argv)
 
 
 def main():
@@ -88,6 +101,20 @@ def main():
     ap.add_argument("--epochs", type=int, default=40)
     ap.add_argument("--batch-size", type=int, default=128)
     ap.add_argument("--workdir", default=None)
+    # experiment arms (VERDICT r4 items 6-7): contrastive on/off,
+    # WT-embedding on/off, pretrain LR / warmup / reinit collapse probes
+    ap.add_argument("--coeff-contrastive", dest="coeff_contrastive",
+                    default=0.1, type=float)
+    ap.add_argument("--use-wt-for-downstream", dest="use_wt_for_downstream",
+                    action=argparse.BooleanOptionalAction, default=True)
+    ap.add_argument("--lr-pretrain", dest="lr_pretrain", default=1e-3,
+                    type=float)
+    ap.add_argument("--pretrain-warmup-epochs", dest="pretrain_warmup_epochs",
+                    default=0, type=int)
+    ap.add_argument("--reinit-on-collapse", dest="reinit_on_collapse",
+                    action="store_true")
+    ap.add_argument("--tag", default="base",
+                    help="arm label; also keeps per-arm checkpoints apart")
     args = ap.parse_args()
     if args.workdir is None:
         args.workdir = ("/tmp/realdata" if args.recipe == "cancer"
@@ -116,6 +143,12 @@ def main():
         "recipe": args.recipe,
         "model": ("HybridModelv2_Comparative" if args.recipe == "cancer"
                   else args.model),
+        "tag": args.tag,
+        "arm": {"coeff_contrastive": args.coeff_contrastive,
+                "use_wt_for_downstream": args.use_wt_for_downstream,
+                "lr_pretrain": args.lr_pretrain,
+                "pretrain_warmup_epochs": args.pretrain_warmup_epochs,
+                "reinit_on_collapse": args.reinit_on_collapse},
         "epochs": args.epochs,
         "per_seed": per_seed,
         "test_roc_auc_median": aucs[len(aucs) // 2],

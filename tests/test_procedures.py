@@ -224,6 +224,21 @@ class TestSchedule:
         assert all(a >= b - 1e-12 for a, b in zip(lrs[10:], lrs[11:]))
         assert lrs[-1] < 1e-4
 
+    def test_warmup_constant(self):
+        from immunostruct_tpu.utils.schedule import linear_warmup_constant
+        sched = linear_warmup_constant(1e-3, warmup_epochs=5,
+                                       warmup_start_lr=1e-5)
+        lrs = [float(sched(e)) for e in range(10)]
+        assert lrs[0] == pytest.approx(1e-5)
+        assert all(a < b for a, b in zip(lrs[:4], lrs[1:5]))   # linear ramp
+        assert lrs[4] == pytest.approx(1e-3, rel=1e-6)          # ramp top
+        assert all(lr == pytest.approx(1e-3) for lr in lrs[5:])  # constant
+
+    def test_warmup_constant_zero_epochs_is_constant(self):
+        from immunostruct_tpu.utils.schedule import linear_warmup_constant
+        sched = linear_warmup_constant(2e-4, warmup_epochs=0)
+        assert [float(sched(e)) for e in range(3)] == pytest.approx([2e-4] * 3)
+
 
 class TestCollapseGuard:
     """Pretrain-collapse detection (VERDICT r3 item 4): the flagship seed-2
