@@ -33,6 +33,13 @@ def main(argv=None):
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--logdir", default="/tmp/immuno_profile")
+    ap.add_argument("--comparative", action="store_true",
+                    help="profile the flagship stage-3 twin step (cancer/WT "
+                         "ComparativeBatch through forward_comparative; "
+                         "appends _Comparative to --model if needed)")
+    ap.add_argument("--coeff-contrastive", default=0.0, type=float,
+                    help="include the paired contrastive term in the "
+                         "profiled comparative step")
     ap.add_argument("--occupancy", action="store_true",
                     help="also print device-idle analysis: busy vs span per "
                          "step and the largest inter-op bubbles (the "
@@ -48,10 +55,17 @@ def main(argv=None):
     from immunostruct_tpu.utils.losses import LossConfig
     from immunostruct_tpu.utils.schedule import constant_lr
 
-    from immunostruct_tpu.data.synthetic import random_sample_batch
+    from immunostruct_tpu.data.synthetic import (
+        random_comparative_batch, random_sample_batch,
+    )
 
     b, n, e = args.batch, args.nodes, args.edges
-    batch = random_sample_batch(b, n, e, args.seq_len, seed=0)
+    comparative = args.comparative or "Comparative" in args.model
+    if comparative and "Comparative" not in args.model:
+        args.model += "_Comparative"
+    batch = (random_comparative_batch(b, n, e, args.seq_len, seed=0)
+             if comparative else
+             random_sample_batch(b, n, e, args.seq_len, seed=0))
 
     platform = jax.devices()[0].platform
     dtype = jnp.dtype(args.compute_dtype) if args.compute_dtype else (
@@ -61,6 +75,7 @@ def main(argv=None):
     trainer = Trainer(spec, LossConfig(vae_dim, pos_weight=1.0, sequence=True),
                       binary=True,
                       optimizer=make_optimizer("adam", constant_lr(1e-3)),
+                      coeff_contrastive=args.coeff_contrastive,
                       aggregation=args.aggregation, compute_dtype=dtype,
                       donate=False)
     state = trainer.init_state(params)

@@ -285,3 +285,18 @@ def random_sample_batch(batch: int, nodes: int, edges: int, seq_len: int,
         props=jnp.asarray(rng.random((batch, 2)).astype(np.float32)),
         target=jnp.asarray((rng.random(batch) > 0.5).astype(np.float32)),
         aux_residue=None)
+
+
+def random_comparative_batch(batch: int, nodes: int, edges: int, seq_len: int,
+                             seed: int = 0):
+    """In-memory random ComparativeBatch (cancer/WT twins at identical
+    padded shapes) — the flagship stage-3 step's input, used by
+    cli/profile_step --comparative and the twin-path benches."""
+    from immunostruct_tpu.structs import ComparativeBatch
+
+    cancer = random_sample_batch(batch, nodes, edges, seq_len, seed=seed)
+    wt = random_sample_batch(batch, nodes, edges, seq_len, seed=seed + 1)
+    # twins share the pair-level target (train.py twin losses both see it)
+    wt = type(wt)(graph=wt.graph, seq_onehot=wt.seq_onehot, props=wt.props,
+                  target=cancer.target, aux_residue=None)
+    return ComparativeBatch(cancer=cancer, wt=wt)
