@@ -484,12 +484,17 @@ def train_model(config, spec: ModelSpec, params: dict, train_pipe, val_pipe,
     suffix = f".{resume_tag}.resume" if resume_tag else ".resume"
     resume_path = (ckpt + suffix) if getattr(config, "resume", False) else None
 
-    # collapse guard: pretrain stages only (the observed failure mode;
-    # finetune starts from a trained trunk). Soft-target pretrains are
-    # watched via a median-split AUROC (see fit); binary ones directly.
-    reinit = bool(getattr(config, "reinit_on_collapse", False))
-    guard_on = (stage == "pretrain"
-                and bool(getattr(config, "collapse_detection", True)))
+    # collapse guard: ALL stages since round 5 — the seed-2 40+40 collapse
+    # arms showed a flatline whose pretrain val AUROC sat just outside the
+    # chance band while the at-chance classifier surfaced in FINETUNE
+    # (benchmarks/RESULTS.md collapse-arms table), so finetune stages are
+    # now watched too (warn-only). Re-init remains pretrain-only: restarting
+    # a finetune from a re-folded init would discard the pretrained trunk.
+    # Soft-target pretrains are watched via a median-split AUROC (see fit);
+    # binary stages directly.
+    reinit = (bool(getattr(config, "reinit_on_collapse", False))
+              and stage == "pretrain")
+    guard_on = bool(getattr(config, "collapse_detection", True))
     max_attempts = 3 if (guard_on and reinit) else 1
 
     for attempt in range(max_attempts):

@@ -299,10 +299,25 @@ class TestCollapseGuard:
         assert len(hist["train_loss"]) == cfg.num_epochs
         assert "val_auc" in hist
 
-    def test_finetune_stage_has_no_guard(self, corpus, tmp_path):
-        """Guard applies to pretrain only: finetune history has no val_auc."""
+    def test_finetune_stage_watched_warn_only(self, corpus, tmp_path,
+                                              monkeypatch, capsys):
+        """Since round 5 the guard watches finetune stages too (the seed-2
+        collapse surfaced there, benchmarks/RESULTS.md collapse-arms
+        table) — but re-init NEVER engages outside pretrain, even with
+        --reinit-on-collapse and a guard that always fires: restarting a
+        finetune from a re-folded init would discard the pretrained trunk."""
+        import immunostruct_tpu.procedures.train as train_mod
+        from immunostruct_tpu.procedures.train import CollapseGuard
+
+        real_guard = CollapseGuard
+        monkeypatch.setattr(
+            train_mod, "CollapseGuard",
+            lambda raise_on_fire: real_guard(
+                window=1, chance_band=1.0, min_epoch=0,
+                raise_on_fire=raise_on_fire))
         gd, pp, hp = corpus
-        cfg = tiny_config(tmp_path, model="SequenceFpModel", sequence_loss=False)
+        cfg = tiny_config(tmp_path, model="SequenceFpModel",
+                          sequence_loss=False, reinit_on_collapse=True)
         ds = ImmunoDataset.load(cfg, gd, pp, hp)
         tr, va, _ = seeded_split(len(ds), (0.8, 0.1, 0.1), cfg.seed)
         vae_dim = _vae_dim(ds, False)
@@ -312,8 +327,12 @@ class TestCollapseGuard:
                                               full=False, config=cfg)
         _, hist = train_model(cfg, spec, params, mk(tr, "train"), mk(va, "val"),
                               loss_cfg, binary=True, learning_rate=1e-3,
-                              stage="finetune", verbose=False)
-        assert "val_auc" not in hist
+                              stage="finetune", verbose=True)
+        out = capsys.readouterr().out
+        assert "val_auc" in hist                   # finetune is watched now
+        assert "COLLAPSE GUARD" in out             # ... and warns
+        assert "re-initializing" not in out        # ... but never restarts
+        assert len(hist["train_loss"]) == cfg.num_epochs
 
     def test_soft_target_pretrain_watches_median_split_auc(self, corpus, tmp_path):
         """The stage that actually collapsed (foreignness pretrain,
