@@ -336,6 +336,9 @@ def main():
         "ms_per_step_realistic_edges": (
             round(realistic_ms, 3) if realistic_ms else None),
         "realistic_edges": EDGES_REALISTIC if realistic_sps else None,
+        "vs_baseline_realistic_edges": (
+            round(realistic_sps / ASSUMED_REFERENCE_SAMPLES_PER_SEC, 3)
+            if realistic_sps else None),
         # the flagship recipe's own step (comparative twin + contrastive,
         # B=128 cancer/WT pairs at the conservative shape)
         "pairs_per_sec_comparative": (
