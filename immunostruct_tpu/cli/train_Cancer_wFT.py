@@ -118,6 +118,7 @@ def main(argv=None):
     params, _ = train_model(config, spec, params, mk2(tr2, "train", False),
                             mk2(va2, "val", False), loss_cfg, binary=False,
                             learning_rate=config.learning_rate_pretrain,
+                            lr_schedule=pretrain_schedule,
                             optimizer_name="adamw", weight_decay=config.weight_decay,
                             stage="pretrain", resume_tag="stage2",
                             coeff_contrastive=config.coeff_contrastive,

@@ -69,6 +69,10 @@ class CollapseGuard:
     chance_band: float = 0.07 # |AUROC - 0.5| below this counts as chance
     min_epoch: int = 6        # ignore the initial epochs
     raise_on_fire: bool = False
+    # whether --reinit-on-collapse would act on this stage (pretrain-only;
+    # train_model forces reinit off elsewhere) — gates the advice printed
+    # when the guard fires so finetune warnings don't suggest a no-op flag
+    reinit_available: bool = True
 
     _streak: int = dataclasses.field(default=0, init=False)
     fired: bool = dataclasses.field(default=False, init=False)
@@ -339,13 +343,19 @@ class Trainer:
                 val_auc = roc_auc_score(y, s) if two_class else float("nan")
                 history.setdefault("val_auc", []).append(val_auc)
                 if two_class and collapse_guard.observe(epoch, val_auc):
+                    advice = ("Consider --reinit-on-collapse, a different "
+                              "seed, or a lower pretrain LR."
+                              if collapse_guard.reinit_available else
+                              "Consider a different seed or a lower "
+                              "pretrain LR (--reinit-on-collapse acts on "
+                              "pretrain stages only and would not apply "
+                              "here).")
                     msg = (f"COLLAPSE GUARD: val AUROC at chance "
                            f"({val_auc:.3f}) for {collapse_guard.window} "
                            f"consecutive epochs at epoch {epoch + 1} — the "
                            "classifier head has flatlined (known seed-"
                            "sensitive pretrain failure, benchmarks/"
-                           "RESULTS.md). Consider --reinit-on-collapse, a "
-                           "different seed, or a lower pretrain LR.")
+                           f"RESULTS.md). {advice}")
                     print(msg)
                     if log_fn:
                         log_fn({"epoch": epoch, "collapse_detected": True,
@@ -498,7 +508,8 @@ def train_model(config, spec: ModelSpec, params: dict, train_pipe, val_pipe,
     max_attempts = 3 if (guard_on and reinit) else 1
 
     for attempt in range(max_attempts):
-        guard = (CollapseGuard(raise_on_fire=reinit and attempt < max_attempts - 1)
+        guard = (CollapseGuard(raise_on_fire=reinit and attempt < max_attempts - 1,
+                               reinit_available=(stage == "pretrain"))
                  if guard_on else None)
         attempt_rng = jax.random.fold_in(rng, attempt) if attempt else rng
         state = trainer.init_state(params, attempt_rng)

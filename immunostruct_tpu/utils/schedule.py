@@ -44,15 +44,11 @@ def linear_warmup_constant(base_lr: float, warmup_epochs: int,
     Used by the --pretrain-warmup-epochs collapse-mitigation probe (the
     reference's pretrain stages run at constant LR; warmup is this repo's
     recipe-level answer to the seed-sensitive pretrain flatline,
-    benchmarks/RESULTS.md seed-variance section)."""
+    benchmarks/RESULTS.md seed-variance section).
 
-    def schedule(epoch):
-        epoch = jnp.asarray(epoch, jnp.float32)
-        if warmup_epochs <= 0:
-            return jnp.asarray(base_lr, jnp.float32)
-        warm = warmup_start_lr + epoch * (base_lr - warmup_start_lr) / max(
-            1, warmup_epochs - 1)
-        return jnp.where(epoch < warmup_epochs, warm,
-                         jnp.asarray(base_lr, jnp.float32))
-
-    return schedule
+    This is the cosine schedule with zero annealing amplitude
+    (eta_min == base_lr), delegated so the warmup-ramp convention (the
+    ``warmup_epochs - 1`` denominator) lives in exactly one place."""
+    return linear_warmup_cosine_annealing(
+        base_lr, warmup_epochs, max_epochs=warmup_epochs + 1,
+        warmup_start_lr=warmup_start_lr, eta_min=base_lr)

@@ -71,11 +71,47 @@ def main(batch=128, nodes=288, edges=2560, seq_len=284):
     sps_int8, probs_int8 = timed(qparams)
     f32_bytes, int8_bytes = quantized_size_bytes(params)
 
+    # latency curve: steady-state per-batch time at serving batch sizes.
+    # Through this tunnel a single cold request also pays a multi-ms host
+    # link, so the deployable number (host attached to the chip) is the
+    # steady-state chained rate — per-batch time of a data-chained call
+    # stream, the same honest-barrier protocol as the throughput rows.
+    latency = {}
+    for lb in (1, 8, 128):
+        blat = build_batch(lb, nodes, edges, seq_len)
+
+        @jax.jit
+        def infer_b(params, graph, seq, props, prev):
+            props = props + 1e-12 * jnp.mean(prev)
+            out = model_apply(params, spec, graph, seq, props,
+                              jax.random.key(1), deterministic=True,
+                              aggregation="auto", compute_dtype=dtype)
+            return jax.nn.sigmoid(out.logits.reshape(-1))
+
+        prev = jnp.zeros((lb,))
+        prev = infer_b(params, blat.graph, blat.seq_onehot, blat.props, prev)
+        np.asarray(prev)  # compile + warm
+        dts = []
+        for _ in range(windows):
+            prev = jnp.zeros((lb,))
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                prev = infer_b(params, blat.graph, blat.seq_onehot,
+                               blat.props, prev)
+            np.asarray(prev)
+            dts.append(time.perf_counter() - t0)
+        ms = statistics.median(dts) / steps * 1e3
+        latency[f"batch_{lb}"] = {"ms_per_batch": round(ms, 3),
+                                  "samples_per_sec": round(lb / (ms / 1e3), 1)}
+
     # accuracy delta on deterministic probabilities (identical inputs)
     dprob = np.abs(probs_full - probs_int8)
     print(json.dumps({"metric": "infer_samples_per_sec_per_chip",
                       "value": round(sps_f32, 1), "unit": "pMHC/s",
                       "platform": platform}))
+    print(json.dumps({"metric": "infer_latency_curve",
+                      "unit": "ms_per_batch (steady-state chained)",
+                      "platform": platform, **latency}))
     print(json.dumps({"metric": "infer_int8_samples_per_sec_per_chip",
                       "value": round(sps_int8, 1), "unit": "pMHC/s",
                       "max_abs_prob_delta": round(float(dprob.max()), 6),

@@ -30,8 +30,6 @@ import json
 import statistics
 import time
 
-import numpy as np
-
 
 def main():
     ap = argparse.ArgumentParser()

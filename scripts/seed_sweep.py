@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import statistics
 import os
 import sys
 
@@ -151,7 +152,10 @@ def main():
                 "reinit_on_collapse": args.reinit_on_collapse},
         "epochs": args.epochs,
         "per_seed": per_seed,
-        "test_roc_auc_median": aucs[len(aucs) // 2],
+        # statistics.median averages the two middle values for even seed
+        # counts (the partial-extension runs, e.g. --seeds 4,5); the old
+        # upper-middle indexing reported the MAX of a 2-seed run as "median"
+        "test_roc_auc_median": float(statistics.median(aucs)),
         "test_roc_auc_min": aucs[0], "test_roc_auc_max": aucs[-1],
     }))
 

@@ -272,9 +272,9 @@ class TestCollapseGuard:
         real_guard = CollapseGuard
         monkeypatch.setattr(
             train_mod, "CollapseGuard",
-            lambda raise_on_fire: real_guard(
+            lambda raise_on_fire, **kw: real_guard(
                 window=1, chance_band=1.0, min_epoch=0,
-                raise_on_fire=raise_on_fire))
+                raise_on_fire=raise_on_fire, **kw))
 
         gd, pp, hp = corpus
         cfg = tiny_config(tmp_path, model="SequenceFpModel",
@@ -312,9 +312,9 @@ class TestCollapseGuard:
         real_guard = CollapseGuard
         monkeypatch.setattr(
             train_mod, "CollapseGuard",
-            lambda raise_on_fire: real_guard(
+            lambda raise_on_fire, **kw: real_guard(
                 window=1, chance_band=1.0, min_epoch=0,
-                raise_on_fire=raise_on_fire))
+                raise_on_fire=raise_on_fire, **kw))
         gd, pp, hp = corpus
         cfg = tiny_config(tmp_path, model="SequenceFpModel",
                           sequence_loss=False, reinit_on_collapse=True)
@@ -332,6 +332,9 @@ class TestCollapseGuard:
         assert "val_auc" in hist                   # finetune is watched now
         assert "COLLAPSE GUARD" in out             # ... and warns
         assert "re-initializing" not in out        # ... but never restarts
+        # the advice must not suggest a flag that is inert outside pretrain
+        assert "Consider --reinit-on-collapse" not in out
+        assert "pretrain stages only" in out
         assert len(hist["train_loss"]) == cfg.num_epochs
 
     def test_soft_target_pretrain_watches_median_split_auc(self, corpus, tmp_path):
