@@ -1,10 +1,14 @@
-"""Minimal batch-serving loop over an exported StableHLO artifact.
+"""Minimal batch-serving over an exported StableHLO artifact.
 
-A filesystem request queue (the simplest transport that demonstrates the
-serving path end-to-end without bringing in a web framework): requests are
-``.npz`` files with the exported function's inputs; responses are written
-next to them as ``<name>.probs.npy``. The artifact runs via
-``jax.export.deserialize(...).call`` — no Python model code needed.
+Two stdlib-only transports (no web framework) around
+``jax.export.deserialize(...).call`` — no Python model code needed:
+
+1. A filesystem request queue: requests are ``.npz`` files with the
+   exported function's inputs; responses are written next to them as
+   ``<name>.probs.npy``.
+2. An HTTP scoring endpoint (``--http PORT``): ``POST /score`` with the
+   same ``.npz`` bytes as the request body returns
+   ``{"probs": [...], "ms": t}``; ``GET /healthz`` answers liveness.
 
 Request npz keys (shapes must match the exported signature):
   node_feat [B,N,20] coords [B,N,3] edge_src/edge_dst [B,E] edge_feat
@@ -15,6 +19,7 @@ Request npz keys (shapes must match the exported signature):
 Usage:
   python scripts/serve_batch.py --artifact model.shlo --watch-dir q/        # loop
   python scripts/serve_batch.py --artifact model.shlo --oneshot req.npz     # once
+  python scripts/serve_batch.py --artifact model.shlo --http 8788           # HTTP
 """
 
 from __future__ import annotations
@@ -29,7 +34,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def request_to_args(path: str):
+def request_to_args(path):
+    """Parse a request ``.npz`` (path or file-like) into call args."""
     import jax.numpy as jnp
     from immunostruct_tpu.structs import GraphBatch
 
@@ -76,6 +82,58 @@ def serve_one(exported, req_path: str) -> str:
     return out_path
 
 
+def make_http_server(exported, host: str = "127.0.0.1", port: int = 0):
+    """HTTP scoring endpoint over the exported artifact (stdlib only).
+
+    POST /score with ``.npz`` request bytes → ``{"probs": [...], "ms": t}``
+    (400 with an ``error`` field on a malformed request); GET /healthz →
+    ``{"status": "ok"}``. Returns the ``HTTPServer`` (not started) so
+    callers/tests pick the bound port via ``server_address`` and drive
+    ``serve_forever``/``shutdown`` themselves. Single-threaded by design:
+    one accelerator, one request at a time — concurrency belongs in the
+    caller's batching, which the latency curve shows is nearly free
+    (benchmarks/RESULTS.md serving section).
+    """
+    import io
+    import json
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def _reply(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 (http.server API)
+            if self.path == "/healthz":
+                self._reply(200, {"status": "ok"})
+            else:
+                self._reply(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):  # noqa: N802
+            if self.path != "/score":
+                self._reply(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                args = request_to_args(io.BytesIO(self.rfile.read(n)))
+                t0 = time.perf_counter()
+                probs = np.asarray(exported.call(*args))
+                ms = (time.perf_counter() - t0) * 1e3
+                self._reply(200, {"probs": probs.tolist(),
+                                  "ms": round(ms, 3)})
+            except Exception as e:  # malformed npz, wrong shapes, ...
+                self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+
+        def log_message(self, fmt, *a):  # quiet; responses carry the info
+            pass
+
+    return HTTPServer((host, port), Handler)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--artifact", type=str)
@@ -83,7 +141,21 @@ def main(argv=None):
     ap.add_argument("--oneshot", type=str)
     ap.add_argument("--write-example", type=str)
     ap.add_argument("--poll-secs", type=float, default=0.2)
+    ap.add_argument("--http", type=int, default=None, metavar="PORT",
+                    help="serve POST /score + GET /healthz on this port "
+                         "instead of watching a directory")
+    ap.add_argument("--host", type=str, default="127.0.0.1")
+    ap.add_argument("--platform", type=str, default=None,
+                    help="force the jax platform (e.g. 'cpu') — must match "
+                         "the platform the artifact was exported for. Set "
+                         "here at the Python level because an ambient "
+                         "sitecustomize may import jax before JAX_PLATFORMS "
+                         "is honored")
     args = ap.parse_args(argv)
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     if args.write_example:
         write_example(args.write_example)
@@ -99,7 +171,14 @@ def main(argv=None):
         serve_one(exported, args.oneshot)
         return
 
-    assert args.watch_dir, "--watch-dir or --oneshot required"
+    if args.http is not None:
+        server = make_http_server(exported, args.host, args.http)
+        host, port = server.server_address[:2]
+        print(f"scoring at http://{host}:{port}/score (ctrl-c to stop)")
+        server.serve_forever()
+        return
+
+    assert args.watch_dir, "--watch-dir, --oneshot, or --http required"
     print(f"serving from {args.watch_dir} (ctrl-c to stop)")
     # processed state is keyed by (name, size, mtime): a request that failed
     # because the poll caught it mid-copy is RETRIED once the writer
