@@ -1,4 +1,4 @@
-"""HTTP scoring endpoint over the exported artifact (scripts/serve_batch.py).
+"""HTTP scoring endpoint over the exported artifact (immunostruct_tpu/serving.py).
 
 The reference has no serving path at all; this pins the transport layer
 added on top of the StableHLO export (utils/export.py): POST /score with
@@ -19,7 +19,9 @@ import pytest
 from immunostruct_tpu.models import build_model
 from immunostruct_tpu.utils.export import export_inference_fn
 
-from scripts.serve_batch import make_http_server, request_to_args, write_example
+from immunostruct_tpu.serving import (
+    make_http_server, request_to_args, write_example,
+)
 
 
 @pytest.fixture(scope="module")
