@@ -133,6 +133,12 @@ def main(argv=None):
             schedule = linear_warmup_cosine_annealing(
                 lr, warmup_epochs=config.num_epochs // 4,
                 max_epochs=config.num_epochs, warmup_start_lr=lr / 100)
+        elif config.pretrain_warmup_epochs > 0:
+            # the --pretrain-warmup-epochs collapse-mitigation probe applies
+            # to every pretrain stage, as in the two main entry CLIs
+            from immunostruct_tpu.utils.schedule import linear_warmup_constant
+            schedule = linear_warmup_constant(
+                lr, config.pretrain_warmup_epochs, warmup_start_lr=lr / 100)
 
         print(f"=== stage {i + 1}/{len(stages)}: {stage} "
               f"(binary={binary}, comparative={comparative}) ===")
