@@ -23,7 +23,8 @@ Package layout:
   utils/       losses, contrastive loss, schedules, checkpointing
   parallel/    mesh setup, collectives, sharded training
   featurize/   offline PDB -> fixed-shape graph featurizer (graphein replacement)
-  cli/         entry points mirroring the reference scripts
+  serving.py   batch serving of exported StableHLO artifacts (queue + HTTP)
+  cli/         entry points mirroring the reference scripts (+ TPU extras)
 """
 
 __version__ = "0.1.0"
