@@ -40,6 +40,11 @@ def main(argv=None):
     ap.add_argument("--coeff-contrastive", default=0.0, type=float,
                     help="include the paired contrastive term in the "
                          "profiled comparative step")
+    ap.add_argument("--inference", action="store_true",
+                    help="profile the deterministic forward (serving path: "
+                         "model_apply + sigmoid) instead of the train step — "
+                         "e.g. --inference --batch 1 attributes the "
+                         "single-sample serving latency floor")
     ap.add_argument("--occupancy", action="store_true",
                     help="also print device-idle analysis: busy vs span per "
                          "step and the largest inter-op bubbles (the "
@@ -81,13 +86,37 @@ def main(argv=None):
     state = trainer.init_state(params)
     key = jax.random.key(1)
 
-    stepj = jax.jit(lambda s: trainer._train_step(s, batch, key))
-    rows = profile_fn(stepj, (state,), args.logdir,
-                      steps=args.steps, warmup=args.warmup,
-                      thread_state=True)
+    if args.inference:
+        from immunostruct_tpu.models.trunk import model_apply
+
+        assert not comparative, "--inference profiles the single forward"
+
+        # carry = (prev_probs, params): profile_fn's thread_state feeds
+        # out[0] back as args[0], and chaining prev probs into props keeps
+        # repeated dispatches data-dependent (same trick as bench_infer)
+        def fwd(carry):
+            prev, p = carry
+            props = batch.props + 1e-12 * jnp.mean(prev)
+            out = model_apply(p, spec, batch.graph, batch.seq_onehot,
+                              props, key, deterministic=True,
+                              aggregation=args.aggregation,
+                              compute_dtype=dtype)
+            probs = jax.nn.sigmoid(out.logits.reshape(-1))
+            return (probs, p), probs
+
+        stepj = jax.jit(fwd)
+        rows = profile_fn(stepj, ((jnp.zeros((b,)), state.params),),
+                          args.logdir, steps=args.steps, warmup=args.warmup,
+                          thread_state=True)
+    else:
+        stepj = jax.jit(lambda s: trainer._train_step(s, batch, key))
+        rows = profile_fn(stepj, (state,), args.logdir,
+                          steps=args.steps, warmup=args.warmup,
+                          thread_state=True)
     total = sum(ms for ms, _ in rows)
     print(f"# model={args.model} aggregation={args.aggregation} "
           f"platform={platform} B={b} N={n} E={e} "
+          f"mode={'inference' if args.inference else 'train'} "
           f"device_total={total:.2f} ms/step")
     for ms, label in rows[:args.top]:
         print(f"{ms:9.3f} ms/step  {label}")
