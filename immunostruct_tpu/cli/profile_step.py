@@ -66,6 +66,10 @@ def main(argv=None):
 
     b, n, e = args.batch, args.nodes, args.edges
     comparative = args.comparative or "Comparative" in args.model
+    if args.inference and comparative:
+        ap.error("--inference profiles the single deterministic forward; "
+                 "it cannot be combined with --comparative or a "
+                 "*_Comparative model")
     if comparative and "Comparative" not in args.model:
         args.model += "_Comparative"
     batch = (random_comparative_batch(b, n, e, args.seq_len, seed=0)
@@ -77,19 +81,13 @@ def main(argv=None):
         jnp.bfloat16 if platform == "tpu" else jnp.float32)
     vae_dim = args.seq_len * 21
     spec, params = build_model(args.model, vae_dim, jax.random.key(0))
-    trainer = Trainer(spec, LossConfig(vae_dim, pos_weight=1.0, sequence=True),
-                      binary=True,
-                      optimizer=make_optimizer("adam", constant_lr(1e-3)),
-                      coeff_contrastive=args.coeff_contrastive,
-                      aggregation=args.aggregation, compute_dtype=dtype,
-                      donate=False)
-    state = trainer.init_state(params)
     key = jax.random.key(1)
 
     if args.inference:
+        # no Trainer/optimizer here: the serving path carries no Adam
+        # moments, and allocating them would double the device footprint
+        # of a latency-attribution run for nothing
         from immunostruct_tpu.models.trunk import model_apply
-
-        assert not comparative, "--inference profiles the single forward"
 
         # carry = (prev_probs, params): profile_fn's thread_state feeds
         # out[0] back as args[0], and chaining prev probs into props keeps
@@ -105,10 +103,18 @@ def main(argv=None):
             return (probs, p), probs
 
         stepj = jax.jit(fwd)
-        rows = profile_fn(stepj, ((jnp.zeros((b,)), state.params),),
+        rows = profile_fn(stepj, ((jnp.zeros((b,)), params),),
                           args.logdir, steps=args.steps, warmup=args.warmup,
                           thread_state=True)
     else:
+        trainer = Trainer(
+            spec, LossConfig(vae_dim, pos_weight=1.0, sequence=True),
+            binary=True,
+            optimizer=make_optimizer("adam", constant_lr(1e-3)),
+            coeff_contrastive=args.coeff_contrastive,
+            aggregation=args.aggregation, compute_dtype=dtype,
+            donate=False)
+        state = trainer.init_state(params)
         stepj = jax.jit(lambda s: trainer._train_step(s, batch, key))
         rows = profile_fn(stepj, (state,), args.logdir,
                           steps=args.steps, warmup=args.warmup,

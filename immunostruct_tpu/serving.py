@@ -22,8 +22,10 @@ Request npz keys (shapes must match the exported signature):
 (produce one with ``--write-example``)
 
 Measured serving numbers live in benchmarks/RESULTS.md ("Serving /
-inference"): 26-29k pMHC/s batch throughput, 1.23 ms single-sample
-steady-state latency on the v5e chip.
+inference"): 26-31k pMHC/s batch throughput on the v5e chip; the
+single-sample program executes in 0.14 ms of device time (the 1.4-2.2 ms
+steady-state wall observed in this environment is remote-dispatch
+tunnel overhead).
 
 Usage (also exposed as ``python -m immunostruct_tpu.cli.serve``):
   ... --artifact model.shlo --watch-dir q/        # filesystem queue
@@ -129,10 +131,18 @@ def make_http_server(exported, host: str = "127.0.0.1", port: int = 0):
                 t0 = time.perf_counter()
                 probs = np.asarray(exported.call(*args))
                 ms = (time.perf_counter() - t0) * 1e3
-                self._reply(200, {"probs": probs.tolist(),
-                                  "ms": round(ms, 3)})
             except Exception as e:  # malformed npz, wrong shapes, ...
                 self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+                return
+            # success reply OUTSIDE the try: a client that disconnects
+            # mid-write must not be answered with a second reply on the
+            # dead socket (and a write error is not a 400-class request
+            # problem)
+            try:
+                self._reply(200, {"probs": probs.tolist(),
+                                  "ms": round(ms, 3)})
+            except (BrokenPipeError, ConnectionResetError):
+                pass  # client went away; nothing to send it
 
         def log_message(self, fmt, *a):  # quiet; responses carry the info
             pass
@@ -169,6 +179,9 @@ def main(argv=None):
         if not args.artifact:
             return
 
+    if not args.artifact:
+        ap.error("--artifact is required (except with --write-example alone)")
+
     from immunostruct_tpu.utils.export import load_exported
 
     exported = load_exported(args.artifact)
@@ -184,7 +197,8 @@ def main(argv=None):
         server.serve_forever()
         return
 
-    assert args.watch_dir, "--watch-dir, --oneshot, or --http required"
+    if not args.watch_dir:
+        ap.error("one of --watch-dir, --oneshot, or --http is required")
     print(f"serving from {args.watch_dir} (ctrl-c to stop)")
     # processed state is keyed by (name, size, mtime): a request that failed
     # because the poll caught it mid-copy is RETRIED once the writer

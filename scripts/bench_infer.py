@@ -88,22 +88,19 @@ def main(batch=128, nodes=288, edges=2560, seq_len=284):
                               aggregation="auto", compute_dtype=dtype)
             return jax.nn.sigmoid(out.logits.reshape(-1))
 
-        def timed_lat(p):
+        prev = jnp.zeros((lb,))
+        prev = infer_b(params, blat.graph, blat.seq_onehot, blat.props, prev)
+        np.asarray(prev)  # compile + warm
+        dts = []
+        for _ in range(windows):
             prev = jnp.zeros((lb,))
-            prev = infer_b(p, blat.graph, blat.seq_onehot, blat.props, prev)
-            np.asarray(prev)  # compile + warm
-            dts = []
-            for _ in range(windows):
-                prev = jnp.zeros((lb,))
-                t0 = time.perf_counter()
-                for _ in range(steps):
-                    prev = infer_b(p, blat.graph, blat.seq_onehot,
-                                   blat.props, prev)
-                np.asarray(prev)
-                dts.append(time.perf_counter() - t0)
-            return statistics.median(dts) / steps * 1e3
-
-        ms = timed_lat(params)
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                prev = infer_b(params, blat.graph, blat.seq_onehot,
+                               blat.props, prev)
+            np.asarray(prev)
+            dts.append(time.perf_counter() - t0)
+        ms = statistics.median(dts) / steps * 1e3
         latency[f"batch_{lb}"] = {"ms_per_batch": round(ms, 3),
                                   "samples_per_sec": round(lb / (ms / 1e3), 1)}
         # no int8 row here: quantization cannot move latency at these sizes
