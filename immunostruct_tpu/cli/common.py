@@ -189,3 +189,37 @@ def to_config(args: argparse.Namespace, **extra) -> Config:
     update_paths(cfg)
     enable_compilation_cache()
     return cfg
+
+
+def check_seq_dims(vae_dim: int, full: bool, **named_datasets) -> None:
+    """Fail fast on cross-corpus sequence-padding mismatches.
+
+    The model's VAE flattens sequences to a FIXED L*21 input
+    (models/trunk.py flattens to vae_dim), but each corpus pads to ITS OWN
+    max chain length (dataset.py one_hot_encode_batch over that corpus's
+    chains). A later curriculum stage or twin branch whose corpus pads
+    longer/shorter would otherwise shape-error deep inside jit only when
+    that stage starts — potentially hours into a run. Pass every dataset
+    the run will touch (plain, comparative, clinical); Nones are skipped.
+    """
+    sides = []
+    for name, ds in named_datasets.items():
+        if ds is None:
+            continue
+        if hasattr(ds, "cancer"):  # ComparativeDataset twins share the VAE
+            sides += [(f"{name}.cancer", ds.cancer), (f"{name}.wt", ds.wt)]
+        else:
+            sides.append((name, ds))
+    for name, ds in sides:
+        seq = ds.seq_full if full else ds.seq_pep
+        dim = seq.shape[1] * 21
+        if dim != vae_dim:
+            raise ValueError(
+                f"sequence-dim mismatch: dataset '{name}' pads "
+                f"{'full chains' if full else 'peptides'} to {seq.shape[1]} "
+                f"tokens ({dim} flattened) but the model's VAE was built "
+                f"for vae_dim={vae_dim}. All corpora in one run must pad "
+                "to the model's length — re-featurize/re-pad the corpus or "
+                "set --sequence-pad-count/--structure-pad-count so the "
+                "lengths agree (failing now instead of inside jit at "
+                "stage start).")

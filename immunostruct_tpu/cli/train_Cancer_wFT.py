@@ -14,7 +14,9 @@ import jax
 import numpy as np
 import pandas as pd
 
-from immunostruct_tpu.cli.common import base_parser, to_config, pick_pipeline
+from immunostruct_tpu.cli.common import (
+    base_parser, check_seq_dims, pick_pipeline, to_config,
+)
 from immunostruct_tpu.data import (
     ImmunoDataset, ComparativeDataset, ClinicalDataset,
     BatchPipeline, seeded_split,
@@ -78,6 +80,8 @@ def main(argv=None):
 
     vae_dim = (dataset_pt1.seq_full.shape[1] if config.full_sequence
                else dataset_pt1.seq_pep.shape[1]) * 21
+    check_seq_dims(vae_dim, config.full_sequence, IEDB=dataset_pt1,
+                   comparative=dataset_pt2, clinical=clinical_ds)
     spec, params = build_model(config.model, vae_dim, root_key,
                                use_wt_for_downstream=config.use_wt_for_downstream)
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import jax
 
-from immunostruct_tpu.cli.common import base_parser, to_config
+from immunostruct_tpu.cli.common import base_parser, check_seq_dims, to_config
 from immunostruct_tpu.data import (
     ImmunoDataset, ComparativeDataset, BatchPipeline, ComparativePipeline,
     seeded_split,
@@ -112,6 +112,9 @@ def main(argv=None):
             spec, params = build_model(
                 config.model, vae_dim, root_key,
                 use_wt_for_downstream=args.use_wt_for_downstream)
+        # later stages may bring a differently-padded corpus; fail fast
+        # instead of shape-erroring inside jit when the stage starts
+        check_seq_dims(vae_dim, config.full_sequence, **{stage: ds})
 
         loss_cfg = LossConfig(vae_dim, pos_weight_from_counts(ds.class_weights),
                               sequence=config.sequence_loss, ssl=ssl)

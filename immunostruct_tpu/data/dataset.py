@@ -9,10 +9,12 @@ per-item torch tensors + DGL graph objects:
   so shared structures are not duplicated;
 - foreignness is min-max normalized to [-1, 1]
   (immmunopred_dataloader.py:67-70);
-- comparative WT rows get label 0 and foreignness = corpus min
-  (immmunopred_dataloader.py:182-183);
-- clinical rows without a matching graph become NaN features + placeholder
-  graph, props [0.4, 0.4], labels -1 (infer_dataloader.py:216-233).
+- comparative WT rows get label 0 and foreignness = corpus min, i.e. -1.0
+  under the cancer-side normalization bounds the reference applies
+  class-wide (immmunopred_dataloader.py:182-183, :208-214);
+- clinical rows WITH a matching graph get the reference's placeholder
+  props [0.4, 0.4]; rows WITHOUT one become NaN features + NaN props +
+  placeholder graph, labels -1 for everyone (infer_dataloader.py:216-233).
 """
 
 from __future__ import annotations
@@ -90,6 +92,16 @@ def _stack_corpus(corpus: GraphCorpus, nodes_multiple=8, edges_multiple=128,
 
 
 def _normalize_foreignness(f: np.ndarray):
+    if np.isnan(f).any():
+        # documented fail-fast divergence: the reference dropnas on the
+        # 'foreign'/'Foreignness_Score' column but READS 'smoothed_foreign'
+        # (preprocess.py:50-59), so a row with NaN smoothed_foreign would
+        # silently NaN the min/max here and poison every normalized target;
+        # raise instead of training on all-NaN foreignness
+        raise ValueError(
+            f"{int(np.isnan(f).sum())}/{f.size} foreignness values are NaN "
+            "(rows with NaN smoothed_foreign survive the reference's "
+            "dropna columns); clean the property table before training")
     lo, hi = float(np.min(f)), float(np.max(f))
     norm = 2.0 * (f - (hi + lo) / 2.0) / (hi - lo) if hi > lo else np.zeros_like(f)
     return norm.astype(np.float32), lo, hi
@@ -254,6 +266,19 @@ class ComparativeDataset:
 
         if len(cancer_ds) != len(wt_ds):
             raise ValueError(f"cancer/WT row mismatch: {len(cancer_ds)} vs {len(wt_ds)}")
+        # The reference's comparative normalize() uses ONE min/max pair —
+        # the cancer side's — class-wide, and never rescales the WT tensor
+        # (immmunopred_dataloader.py:208-214; WT stays at the raw corpus
+        # min, which equals -1.0 under that normalization). from_joined
+        # normalized the all-constant WT array against itself (-> 0.0 with
+        # degenerate denormalize bounds); redo it with the cancer bounds so
+        # WT foreign_norm reads -1.0 and wt.denormalize matches the
+        # reference's single class-level (min, max).
+        lo, hi = cancer_ds.foreign_min, cancer_ds.foreign_max
+        wt_ds.foreign_min, wt_ds.foreign_max = lo, hi
+        if hi > lo:
+            norm_min = 2.0 * (wt_min - (hi + lo) / 2.0) / (hi - lo)
+            wt_ds.foreign_norm = np.full_like(wt_ds.foreign_norm, norm_min)
         # training reads the label/foreignness from the cancer side
         # (immmunopred_dataloader.py:279-285 returns cancer immuno/foreignness)
         return cls(cancer=cancer_ds, wt=wt_ds)
@@ -302,12 +327,13 @@ class ClinicalDataset:
 
         # build name mapper from the clinical table itself
         # (preprocess.py:302-313: combo column keys, hla_seq + mut_pep chains)
+        from immunostruct_tpu.data.tables import get_hash
         name_mapper = {}
-        for _, row in seq_df.iterrows():
-            chain = str(row["hla_seq"]) + str(row["mut_pep"])
-            from immunostruct_tpu.data.tables import get_hash
-            name_mapper[str(row["combo"])] = (
-                chain, chain[-99:] + "_" + get_hash(chain)[:5], str(row["mut_pep"]))
+        for combo, hla_seq, mut_pep in zip(seq_df["combo"], seq_df["hla_seq"],
+                                           seq_df["mut_pep"]):
+            chain = str(hla_seq) + str(mut_pep)
+            name_mapper[str(combo)] = (
+                chain, chain[-99:] + "_" + get_hash(chain)[:5], str(mut_pep))
 
         corpus_index = corpus.index()
         valid_rows = {combo: v for combo, v in name_mapper.items()
@@ -332,20 +358,19 @@ class ClinicalDataset:
         seq_full = np.zeros((m, max_full, 21), np.float32)
         seq_pep = np.zeros((m, max_pep, 21), np.float32)
         props = np.full((m, 2), np.nan, np.float32)
-        graph_idx = np.zeros((m,), np.int32)
-        valid = np.zeros((m,), bool)
+        graph_idx = np.full((m,), key_to_new[placeholder_key], np.int32)
+        row_combos = [str(c) for c in seq_df["combo"]]
+        valid = np.asarray([c in valid_rows for c in row_combos], bool)
 
-        for i, (_, row) in enumerate(seq_df.iterrows()):
-            combo = str(row["combo"])
-            if combo in valid_rows:
-                chain, key, pep = valid_rows[combo]
-                seq_full[i] = one_hot_encode_batch([chain], max_full)[0]
-                seq_pep[i] = one_hot_encode_batch([pep], max_pep)[0]
-                props[i] = [0.4, 0.4]  # placeholder props (infer_dataloader.py:216-217)
-                graph_idx[i] = key_to_new[key]
-                valid[i] = True
-            else:
-                graph_idx[i] = key_to_new[placeholder_key]
+        # encode the matched rows as ONE batch per modality (a per-row
+        # one_hot_encode_batch call costs minutes at 29K clinical rows)
+        idx = np.nonzero(valid)[0]
+        if len(idx):
+            matched = [valid_rows[row_combos[i]] for i in idx]
+            seq_full[idx] = one_hot_encode_batch([v[0] for v in matched], max_full)
+            seq_pep[idx] = one_hot_encode_batch([v[2] for v in matched], max_pep)
+            props[idx] = [0.4, 0.4]  # placeholder props (infer_dataloader.py:216-217)
+            graph_idx[idx] = [key_to_new[v[1]] for v in matched]
 
         props_filled = np.where(np.isnan(props), 0.0, props).astype(np.float32)
         return cls(seq_full=seq_full, seq_pep=seq_pep, props=props,

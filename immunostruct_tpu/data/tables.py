@@ -21,6 +21,7 @@ where the quirk affects which rows survive joins:
 
 from __future__ import annotations
 
+import functools
 import hashlib
 from typing import Iterable
 
@@ -66,6 +67,9 @@ def dedup_property_df(df: pd.DataFrame) -> pd.DataFrame:
 
     imm_per_group = df.groupby(group_cols)["immunogenicity"].nunique()
     if (imm_per_group > 1).any():
+        # exact parity: the reference hard-asserts on this too
+        # (preprocess.py:99-101 and :115-116), so mixed-immunogenicity
+        # duplicate groups abort in both implementations
         raise ValueError("same (mut_pep, wt_pep, allele) with different immunogenicity")
 
     # tie semantics match the reference's argmax/argmin (preprocess.py:121-124):
@@ -128,18 +132,38 @@ def get_z_peps(expanded_df: pd.DataFrame, seq_df: pd.DataFrame) -> list:
     return z_peps
 
 
+@functools.lru_cache(maxsize=8)
+def _load_hla_seqs(hla_path: str) -> dict:
+    """allele -> 274-aa sequence, cached: ComparativeDataset.load expands
+    the cancer and WT mappers back-to-back from the same csv, and the
+    flagship CLI loads several datasets against one HLA table."""
+    hla_df = pd.read_csv(hla_path)
+    return dict(zip(hla_df["allele"], hla_df["seqs"]))
+
+
 def expand_hla(pep_pairs: Iterable[str], hla_path: str) -> dict:
     """pep_pair -> (full_chain, graph_key, peptide) (preprocess.py:132-145).
 
     full_chain = HLA sequence + peptide; graph_key = chain[-99:]_sha1[:5].
     """
-    hla_df = pd.read_csv(hla_path)
-    hla_seqs = dict(zip(hla_df["allele"], hla_df["seqs"]))
+    hla_seqs = _load_hla_seqs(hla_path)
 
     name_mapper = {}
     for pair in pep_pairs:
-        pep, hla = pair.split("HLA-")
-        chain = hla_seqs["HLA-" + hla] + pep
+        parts = pair.split("HLA-")
+        if len(parts) != 2:
+            raise ValueError(
+                f"pep_pair {pair!r} has no 'HLA-' allele part — only "
+                "HLA-prefixed class-I alleles are supported "
+                "(preprocess.py:132-145 assumes the same)")
+        pep, hla = parts
+        try:
+            chain = hla_seqs["HLA-" + hla] + pep
+        except KeyError:
+            raise ValueError(
+                f"allele 'HLA-{hla}' (from pep_pair {pair!r}) is not in "
+                f"{hla_path} ({len(hla_seqs)} alleles); extend the HLA "
+                "sequence table to cover this corpus") from None
         hashed = get_hash(chain)[:5]
         name_mapper[pair] = (chain, chain[-99:] + "_" + hashed, pep)
     return name_mapper

@@ -9,6 +9,7 @@ hands per-patient aggregation to procedures/clinical.py.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -20,9 +21,16 @@ from immunostruct_tpu.structs import ComparativeBatch
 from immunostruct_tpu.procedures.metrics import evaluate_metrics, find_optimal_threshold
 
 
-def _collect_probs(spec: ModelSpec, params: dict, pipe, rng: jax.Array,
-                   aggregation: str, compute_dtype,
-                   scan_layers: bool = False) -> tuple[np.ndarray, np.ndarray]:
+@functools.lru_cache(maxsize=32)
+def _cached_fwd(spec: ModelSpec, aggregation: str, compute_dtype,
+                scan_layers: bool):
+    """One jitted forward per (spec, aggregation, dtype, scan_layers).
+
+    inference() is called several times per CLI run (train split for the
+    threshold, then test, then clinical); a fresh @jax.jit closure per call
+    would discard the jit cache and re-pay the multi-second full-model XLA
+    compile each time. ModelSpec is frozen/hashable by design.
+    """
     @jax.jit
     def fwd(p, batch, key):
         if isinstance(batch, ComparativeBatch):
@@ -38,6 +46,13 @@ def _collect_probs(spec: ModelSpec, params: dict, pipe, rng: jax.Array,
                           compute_dtype=compute_dtype, scan_layers=scan_layers)
         return jax.nn.sigmoid(out.logits.reshape(-1)), batch.target
 
+    return fwd
+
+
+def _collect_probs(spec: ModelSpec, params: dict, pipe, rng: jax.Array,
+                   aggregation: str, compute_dtype,
+                   scan_layers: bool = False) -> tuple[np.ndarray, np.ndarray]:
+    fwd = _cached_fwd(spec, aggregation, compute_dtype, scan_layers)
     probs, targets = [], []
     for i, batch in enumerate(pipe.epoch(0)):
         p, t = fwd(params, batch, jax.random.fold_in(rng, i))
@@ -72,7 +87,7 @@ def inference(config, spec: ModelSpec, params: dict, pipe, *,
     if clinical is not None:
         out.update(inference_clinical_only(
             config, spec, params, clinical, rng=rng,
-            fig_save_folder=fig_save_folder))
+            fig_save_folder=fig_save_folder, verbose=verbose))
     return out
 
 
@@ -86,7 +101,8 @@ inference_comparative_SSL = inference
 
 def inference_clinical_only(config, spec: ModelSpec, params: dict, clinical, *,
                             rng: Optional[jax.Array] = None,
-                            fig_save_folder: Optional[str] = None) -> dict:
+                            fig_save_folder: Optional[str] = None,
+                            verbose: bool = True) -> dict:
     """Clinical scoring -> per-patient load -> OS/PFS p-values.
 
     ``clinical`` is a dict with keys:
@@ -116,5 +132,6 @@ def inference_clinical_only(config, spec: ModelSpec, params: dict, clinical, *,
         fig_path = os.path.join(fig_save_folder, "clinical_p_value.png")
     os_p, pfs_p = clinical_pvalues(probs, clinical["seq_df"], clinical["clin_df"],
                                    fig_save_path=fig_path)
-    print(f"OS p-value: {os_p:.4f}\nPFS p-value: {pfs_p:.4f}")
+    if verbose:
+        print(f"OS p-value: {os_p:.4f}\nPFS p-value: {pfs_p:.4f}")
     return {"os_p_value": os_p, "pfs_p_value": pfs_p}

@@ -93,6 +93,16 @@ class TestTables:
         assert pep == "PEP"
         assert key == chain[-99:] + "_" + get_hash(chain)[:5]
 
+    def test_expand_hla_friendly_errors(self, tmp_path):
+        hla = pd.DataFrame({"allele": ["HLA-A*01:01"], "seqs": ["M" * 120]})
+        p = tmp_path / "hla.csv"
+        hla.to_csv(p, index=False)
+        import pytest
+        with pytest.raises(ValueError, match="no 'HLA-' allele part"):
+            expand_hla(["PEPH-2-Kb"], str(p))  # non-human allele, no prefix
+        with pytest.raises(ValueError, match="not in .*hla.csv"):
+            expand_hla(["PEPHLA-B*07:02"], str(p))  # missing from the table
+
 
 class TestSplit:
     def test_split_fractions(self):
@@ -204,8 +214,14 @@ class TestSyntheticEndToEnd:
         cfg = small_config()
         ds = ComparativeDataset.load(cfg, dc, dw, pc, pw, hp)
         assert len(ds) > 0
-        # WT labels forced 0; WT foreignness = min constant
+        # WT labels forced 0; WT foreignness = min constant, which is -1.0
+        # under the cancer-side normalization the reference applies
+        # class-wide (immmunopred_dataloader.py:182-183, :208-214), and the
+        # WT denormalize bounds are the cancer side's single (min, max)
         assert (ds.wt.immuno == 0).all()
+        np.testing.assert_allclose(ds.wt.foreign_norm, -1.0, atol=1e-6)
+        assert ds.wt.foreign_min == ds.cancer.foreign_min
+        assert ds.wt.foreign_max == ds.cancer.foreign_max
         pipe = ComparativePipeline(ds, np.arange(len(ds)), split="train",
                                    binary=True, full=True, config=cfg)
         b = next(iter(pipe.epoch(0)))
@@ -288,3 +304,34 @@ def test_comparative_duplicate_wt_pairs_stay_aligned(tmp_path):
     assert ds.wt.raw_chain[0] == ds.wt.raw_chain[1] == hla + "SIINFEKLL"
     assert ds.cancer.raw_chain[0] != ds.cancer.raw_chain[1]
     np.testing.assert_array_equal(np.asarray(ds.wt.immuno), [0.0, 0.0])
+
+
+class TestFailFastGuards:
+    """Round-5 review fixes: loud errors instead of late/silent failures."""
+
+    def test_nan_foreignness_raises(self):
+        # the reference dropnas on 'foreign'/'Foreignness_Score' but READS
+        # 'smoothed_foreign' (preprocess.py:50-59); a NaN there would
+        # silently poison the min-max normalization — we raise instead
+        from immunostruct_tpu.data.dataset import _normalize_foreignness
+        with pytest.raises(ValueError, match="NaN"):
+            _normalize_foreignness(np.array([0.1, np.nan, 0.5], np.float32))
+
+    def test_check_seq_dims(self):
+        import types
+        from immunostruct_tpu.cli.common import check_seq_dims
+
+        mk = lambda lf, lp=9: types.SimpleNamespace(
+            seq_full=np.zeros((3, lf, 21), np.float32),
+            seq_pep=np.zeros((3, lp, 21), np.float32))
+        check_seq_dims(10 * 21, True, a=mk(10), b=None)  # match + None: ok
+        with pytest.raises(ValueError, match="sequence-dim mismatch"):
+            check_seq_dims(10 * 21, True, a=mk(10), late=mk(12))
+        with pytest.raises(ValueError, match="comparative.wt"):
+            check_seq_dims(
+                10 * 21, True,
+                comparative=types.SimpleNamespace(cancer=mk(10), wt=mk(12)))
+        # peptide mode reads seq_pep
+        check_seq_dims(9 * 21, False, a=mk(99, lp=9))
+        with pytest.raises(ValueError, match="peptides"):
+            check_seq_dims(9 * 21, False, a=mk(99, lp=11))
