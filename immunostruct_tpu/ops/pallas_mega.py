@@ -131,6 +131,33 @@ MEGA_TAIL_INNER = 1         # v8b: same sub-tiling for the BACKWARD tail
                             # sub-tile k+1's VPU chain with sub-tile k's
                             # dots. Numerics: weight grads gain one f32
                             # add chain (roundoff-level; parity-tested).
+MEGA_PAIRED = False         # v9: MIRROR-PAIRED edge layout. Every edge
+                            # list in this pipeline stores both directed
+                            # arcs of each undirected contact (graphein/
+                            # NetworkX edges become both arcs after the
+                            # PyG conversion, reference data/utils.py:63;
+                            # featurize/edges.py emits both directions).
+                            # When the caller guarantees the layout
+                            # invariant  edges[k + E/2] == reverse(
+                            # edges[k])  (padding mirrored too, no self
+                            # loops), the forward kernel iterates ARC
+                            # tiles and derives the mirror direction from
+                            # the SAME [N,T] one-hot pair: half the VPU
+                            # one-hot builds (the measured 1.5 ms/step
+                            # skipprobe tax at E=2560), one xd dot + one
+                            # [N,T] subtract + one geometry instead of
+                            # two. Gather/chain/aggregation MXU work is
+                            # unchanged (messages differ per direction).
+                            # The residuals it writes cover all E edges,
+                            # so the hybrid backward runs UNCHANGED.
+                            # CORRECTNESS DEPENDS ON THE DATA INVARIANT —
+                            # the kernel cannot check it; enable only via
+                            # callers that canonicalize the layout
+                            # (structs.mirror_pair_edge_index). Falls back
+                            # to the production kernel unless the arc
+                            # half is ONE lane-aligned tile within VMEM
+                            # (the production shape class; e.g. E=1408:
+                            # pad to 1536 for the paired form).
 
 
 def _tile_within_budget(e: int, per_edge_bytes: int) -> int:
@@ -271,6 +298,73 @@ def _mega_fwd_kernel(src_ref, dst_ref, ef_ref, h_ref, x_ref,
     @pl.when(pl.program_id(1) != 0)
     def _():
         out_ref[0] += part.astype(out_ref.dtype)
+
+
+def _mega_fwd_kernel_paired(src_ref, dst_ref, ef_ref, h_ref, x_ref,
+                            w1ab_ref, w2_ref, wc1_ref, small_ref,
+                            out_ref, a1_ref, xd_ref, *, hid: int):
+    """v9 forward body for a mirror-paired edge layout (see MEGA_PAIRED),
+    single-arc-tile grid (one cell per batch item — the production shape
+    class; _paired_tile gates it). src_ref/dst_ref carry only the arc
+    half [1, 1, E/2]; ef_ref/a1_ref/xd_ref are flat whole-E blocks whose
+    first half is the arc direction and second half the mirror. One
+    [N,E/2] one-hot pair, one xd dot and one geometry serve BOTH
+    directions; the per-direction gathers/chains/aggregations are the
+    same MXU work as the production kernel (the messages genuinely
+    differ per direction: pa[i]+pb[j] vs pa[j]+pb[i])."""
+    dtype = h_ref.dtype
+    n = h_ref.shape[1]
+    f = h_ref.shape[2]
+    half = src_ref.shape[-1]
+    w1ab = w1ab_ref[...].astype(dtype)
+    h = h_ref[0]
+    pa = jax.lax.dot_general(
+        h, w1ab[:f], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dtype)
+    pb = jax.lax.dot_general(
+        h, w1ab[f:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dtype)
+    smf = small_ref[...].astype(jnp.float32)
+    w2 = w2_ref[...]
+    wc1 = wc1_ref[...]
+    s_src, s_dst = _onehots_rows(src_ref[0], dst_ref[0], n, dtype)
+    ga = _gather(pa, s_src, dtype)                          # pa[src]
+    gb = _gather(pb, s_dst, dtype)                          # pb[dst]
+    ga_r = _gather(pa, s_dst, dtype)                        # pa[dst]
+    gb_r = _gather(pb, s_src, dtype)                        # pb[src]
+    if DIFF_BF16:
+        sdiff = s_src - s_dst
+    else:
+        sdiff = (s_src.astype(jnp.float32)
+                 - s_dst.astype(jnp.float32)).astype(dtype)
+    xd = _gather(x_ref[0], sdiff, dtype)                    # [3, T]
+    rad_b, _radf, inv_s = _geometry(xd)                     # shared: the
+    rad_f = rad_b.astype(jnp.float32)                       # mirror's xd
+    x_hat = xd.astype(jnp.float32) * inv_s                  # is -xd
+
+    def _dir(gx, gy, ef_row, sign):
+        a1 = (gx.astype(jnp.float32) + gy.astype(jnp.float32)
+              + smf[:, _W1R:_W1R + 1] * rad_f
+              + smf[:, _W1E:_W1E + 1] * ef_row.astype(jnp.float32)
+              + smf[:, _B1:_B1 + 1])
+        ch = _chain_from_a1(a1, w2, wc1, smf, dtype)
+        msgx = (ch.cw.astype(dtype).astype(jnp.float32)
+                * (sign * x_hat)).astype(dtype)
+        return ch, jnp.concatenate([ch.m, msgx], axis=0)    # [H+3, T]
+
+    ch_f, both_f = _dir(ga, gb, ef_ref[0, :, :half], 1.0)
+    ch_r, both_r = _dir(ga_r, gb_r, ef_ref[0, :, half:], -1.0)
+    part = (jax.lax.dot_general(
+        s_dst, both_f, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(
+        s_src, both_r, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32))
+    a1_ref[0, :, :half] = ch_f.a1.astype(dtype)
+    a1_ref[0, :, half:] = ch_r.a1.astype(dtype)
+    xd_ref[0, :, :half] = xd
+    xd_ref[0, :, half:] = -xd
+    out_ref[0] = part.astype(out_ref.dtype)
 
 
 def _tail_bwd_kernel(ef_ref, w2_ref, wc1_ref, small_ref,
@@ -505,9 +599,74 @@ def _prep(src, dst, emask, ef, h, hid, backward=True):
     return b, n, f, e, t, grid, src3, dst3, ef3, row
 
 
+def _paired_tile(e: int, n: int, hid: int) -> int:
+    """Arc-tile for the v9 paired forward: E/2 when the whole arc half
+    is one lane-aligned tile within the VMEM budget, else 0 (production
+    fallback). Per ARC, BOTH directions' chain buffers are live (~2x the
+    production forward's chain term) while the [N,T] one-hot pair is
+    shared. Single-tile-only keeps the residual/ef blocks flat [., E]
+    (first half = arc direction, second half = mirror) — contiguous
+    half-stores, no sublane-2 block shapes, and the hybrid backward
+    reads the SAME flat layout it always did."""
+    if e % 2:
+        return 0
+    half = e // 2
+    if half % 128:
+        return 0
+    per_arc = 72 * max(hid, 8) + 4 * n + 28 * (hid + 3)
+    budget = 12 * 1024 * 1024 // per_arc
+    return half if half <= budget else 0
+
+
+def _mega_fwd_call_paired(src, dst, emask, ef, h, x, w1ab, w2, wc1,
+                          small, interpret, t):
+    """v9 paired-forward pallas_call: one grid cell per batch item; the
+    kernel reads the arc half of the indices and writes both directions'
+    residual halves into flat [., E] blocks, so the hybrid backward is
+    untouched."""
+    hid = w2.shape[1]
+    b, n, f = h.shape
+    e = src.shape[1]
+    half = e // 2
+    src3 = jnp.where(emask, src, n)[:, :half].reshape(b, 1, half)
+    dst3 = jnp.where(emask, dst, n)[:, :half].reshape(b, 1, half)
+    ef3 = jnp.swapaxes(ef, 1, 2).astype(h.dtype)            # [B, 1, E]
+    grid = (b,)
+
+    def _row1(c, width):
+        return pl.BlockSpec((1, c, width), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def _whole1(shp):
+        return pl.BlockSpec(shp, lambda i, _s=shp: tuple(0 for _ in _s),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [_row1(1, half), _row1(1, half), _row1(1, e),
+                _row1(n, f), _row1(n, 3)] + [
+        _whole1(w.shape) for w in (w1ab, w2, wc1, small)]
+    return pl.pallas_call(
+        functools.partial(_mega_fwd_kernel_paired, hid=hid),
+        grid=grid, in_specs=in_specs,
+        out_specs=[_row1(n, hid + 3), _row1(hid, e), _row1(3, e)],
+        out_shape=[jax.ShapeDtypeStruct((b, n, hid + 3), h.dtype),
+                   jax.ShapeDtypeStruct((b, hid, e), h.dtype),
+                   jax.ShapeDtypeStruct((b, 3, e), h.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(src3, dst3, ef3, h, x, w1ab, w2, wc1, small)
+
+
 def _mega_fwd_call(src, dst, emask, ef, h, x, w1ab, w2, wc1, small,
                    interpret):
     hid = w2.shape[1]
+    if MEGA_PAIRED:
+        tp = _paired_tile(src.shape[1], h.shape[1], hid)
+        if tp:
+            return _mega_fwd_call_paired(src, dst, emask, ef, h, x,
+                                         w1ab, w2, wc1, small,
+                                         interpret, tp)
+        # E/2 has no 128-multiple tile: production kernel fallback
     b, n, f, e, t, grid, src3, dst3, ef3, row = _prep(
         src, dst, emask, ef, h, hid, backward=False)
     out_dtype = h.dtype if e == t else jnp.float32

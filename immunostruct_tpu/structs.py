@@ -184,3 +184,34 @@ def make_graph_batch(
         edge_feat=jnp.asarray(ones), edge_mask=jnp.asarray(emask),
         node_mask=jnp.asarray(nmask), num_nodes=jnp.asarray(nnum),
     )
+
+
+def mirror_pair_edge_index(edge_index: np.ndarray) -> Optional[np.ndarray]:
+    """Canonicalize a both-arcs [2, E] edge index into the v9
+    MIRROR-PAIRED layout (ops/pallas_mega.py MEGA_PAIRED): returns the
+    reordered [2, E] array whose slot k + E/2 holds the reverse of slot
+    k, or None when the list cannot be paired (odd count, self loops,
+    duplicates, or an arc without its reverse — never the case for the
+    symmetric contact graphs this pipeline produces, featurize/edges.py
+    and the PyG conversion both emit both directions).
+
+    Padding note: make_graph_batch pads edge slots AFTER the real edges;
+    for the paired layout pad each HALF independently (mirror of a padded
+    arc is padded), which is what a paired-aware stacker must do — this
+    function only orders the real arcs."""
+    src, dst = np.asarray(edge_index[0]), np.asarray(edge_index[1])
+    e = src.shape[0]
+    if e % 2 or np.any(src == dst):
+        return None
+    big = np.int64(max(int(src.max(initial=0)), int(dst.max(initial=0))) + 1)
+    keys = src.astype(np.int64) * big + dst.astype(np.int64)
+    if np.unique(keys).shape[0] != e:
+        return None
+    rkeys = dst.astype(np.int64) * big + src.astype(np.int64)
+    if not np.array_equal(np.sort(keys), np.sort(rkeys)):
+        return None
+    fwd = src < dst
+    arcs = np.stack([src[fwd], dst[fwd]])
+    if arcs.shape[1] != e // 2:
+        return None
+    return np.concatenate([arcs, arcs[::-1]], axis=1)

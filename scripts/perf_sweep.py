@@ -15,7 +15,11 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.realpath(__file__))))
 
 
-def build_batch(batch, nodes, edges, seq_len):
+def build_batch(batch, nodes, edges, seq_len, paired=False):
+    """``paired=True`` lays the random edges out in the v9 mirror-paired
+    order (slot k + E/2 = reverse of slot k, no self loops) — a valid
+    input for EVERY kernel variant (it is just an edge ordering), and
+    the layout MEGA_PAIRED requires (ops/pallas_mega.py)."""
     import jax.numpy as jnp
     from immunostruct_tpu.structs import GraphBatch, SampleBatch
 
@@ -23,11 +27,21 @@ def build_batch(batch, nodes, edges, seq_len):
     onehot = np.zeros((batch, nodes, 20), np.float32)
     for b in range(batch):
         onehot[b, np.arange(nodes), rng.integers(0, 20, nodes)] = 1.0
+    if paired:
+        half = edges // 2
+        s0 = rng.integers(0, nodes, (batch, half)).astype(np.int32)
+        d0 = ((s0 + rng.integers(1, nodes, (batch, half))) % nodes
+              ).astype(np.int32)
+        esrc = np.concatenate([s0, d0], axis=1)
+        edst = np.concatenate([d0, s0], axis=1)
+    else:
+        esrc = rng.integers(0, nodes, (batch, edges)).astype(np.int32)
+        edst = rng.integers(0, nodes, (batch, edges)).astype(np.int32)
     graph = GraphBatch(
         node_feat=jnp.asarray(onehot),
         coords=jnp.asarray(rng.standard_normal((batch, nodes, 3)).astype(np.float32)),
-        edge_src=jnp.asarray(rng.integers(0, nodes, (batch, edges)).astype(np.int32)),
-        edge_dst=jnp.asarray(rng.integers(0, nodes, (batch, edges)).astype(np.int32)),
+        edge_src=jnp.asarray(esrc),
+        edge_dst=jnp.asarray(edst),
         edge_feat=jnp.ones((batch, edges, 1), jnp.float32),
         edge_mask=jnp.ones((batch, edges), bool),
         node_mask=jnp.ones((batch, nodes), bool),

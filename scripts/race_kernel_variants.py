@@ -15,8 +15,10 @@ formulations), inner2 / inner4 (v8 sub-tiled forward: VPU one-hot builds
 overlap MXU dots across unrolled sub-tiles), tinner2 / tinner4 (v8b:
 same sub-tiling for the backward tail kernel), combo22 / combo44 (both
 kernels sub-tiled), skipprobe (TIMING ONLY,
-wrong numerics: one-hot builds replaced by a constant), fused (the
-pallas_edge control).
+wrong numerics: one-hot builds replaced by a constant), paired (v9
+mirror-paired edge layout: half the one-hot builds + one xd dot/geometry
+for both directions — needs --paired-batch), fused (the pallas_edge
+control).
 """
 
 from __future__ import annotations
@@ -75,6 +77,9 @@ def set_flags(pm, v):
     pm.ONEHOT_SKIP_PROBE = v == "skipprobe"
     pm.MEGA_INNER, pm.MEGA_TAIL_INNER = _subtile_factors(v)
     pm.BWD_DBOTH_INKERNEL = v == "dboth"
+    # 'paired' needs the mirror-paired batch: pass --paired-batch so ALL
+    # variants consume the same (valid) layout and stay comparable
+    pm.MEGA_PAIRED = v == "paired"
     pstk.STACK_ENABLE = v == "stack"
     # production default is the concat node MLP (egnn.NODE_SPLIT_DOT doc)
     _eg.NODE_SPLIT_DOT = v == "split"
@@ -91,13 +96,21 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--burnin", type=int, default=25)
     ap.add_argument("--variants", default="base,diff16,cast,stacked,fused")
+    ap.add_argument("--paired-batch", action="store_true",
+                    help="lay the synthetic edges out mirror-paired "
+                         "(required for the 'paired' variant; valid for "
+                         "all variants)")
     args = ap.parse_args()
 
     import jax
     from immunostruct_tpu.ops import pallas_mega as pm
 
     vae_dim = 284 * 21
-    batch = build_batch(args.batch, 288, args.edges, 284)
+    batch = build_batch(args.batch, 288, args.edges, 284,
+                        paired=args.paired_batch)
+    if "paired" in args.variants.split(",") and not args.paired_batch:
+        sys.exit("the 'paired' variant requires --paired-batch "
+                 "(MEGA_PAIRED assumes the mirror-pair data invariant)")
     key = jax.random.key(1)
 
     print(f"platform={jax.devices()[0].platform} edges={args.edges}",

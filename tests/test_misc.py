@@ -73,3 +73,61 @@ class TestEGNNAutoResolution:
                                         jnp.ones((1, 4, 1)), jnp.ones((1, 4), bool),
                                         aggregation="auto")
         assert np.isfinite(np.asarray(out_h)).all()
+
+
+class TestMirrorPairEdgeIndex:
+    """structs.mirror_pair_edge_index — the host canonicalizer for the
+    v9 MEGA_PAIRED kernel layout (ops/pallas_mega.py)."""
+
+    def test_pairs_symmetric_list(self):
+        from immunostruct_tpu.structs import mirror_pair_edge_index
+        rng = np.random.default_rng(0)
+        s0 = rng.permutation(40)[:12]
+        d0 = (s0 + 1 + rng.integers(0, 38, 12)) % 40
+        keep = s0 != d0
+        s0, d0 = s0[keep], d0[keep]
+        # dedupe undirected duplicates before symmetrizing
+        seen, arcs = set(), []
+        for a, b in zip(s0, d0):
+            k = (min(a, b), max(a, b))
+            if k not in seen:
+                seen.add(k)
+                arcs.append((a, b))
+        s0 = np.array([a for a, _ in arcs])
+        d0 = np.array([b for _, b in arcs])
+        ei = np.stack([np.concatenate([s0, d0]), np.concatenate([d0, s0])])
+        ei = ei[:, rng.permutation(ei.shape[1])]   # scrambled arrival order
+        out = mirror_pair_edge_index(ei)
+        assert out is not None
+        half = out.shape[1] // 2
+        np.testing.assert_array_equal(out[0, half:], out[1, :half])
+        np.testing.assert_array_equal(out[1, half:], out[0, :half])
+        # same edge SET
+        orig = {(a, b) for a, b in ei.T.tolist()}
+        new = {(a, b) for a, b in out.T.tolist()}
+        assert orig == new
+
+    def test_rejects_unpairable(self):
+        from immunostruct_tpu.structs import mirror_pair_edge_index
+        # missing reverse arc
+        assert mirror_pair_edge_index(np.array([[0, 1], [1, 2]])) is None
+        # self loop
+        assert mirror_pair_edge_index(
+            np.array([[0, 1, 1, 0], [1, 0, 1, 1]])) is None
+        # odd count
+        assert mirror_pair_edge_index(np.array([[0], [1]])) is None
+        # duplicate arc
+        assert mirror_pair_edge_index(
+            np.array([[0, 0, 1, 1], [1, 1, 0, 0]])) is None
+
+    def test_featurizer_output_is_pairable(self):
+        from immunostruct_tpu.structs import mirror_pair_edge_index
+        from immunostruct_tpu.featurize.edges import build_edges
+        rng = np.random.default_rng(3)
+        n = 30
+        coords = rng.standard_normal((n, 3)).astype(np.float64) * 4
+        names = rng.choice(["ALA", "ARG", "ASP", "LEU", "SER", "CYS"], n)
+        ei = build_edges(coords, list(names), np.arange(n),
+                         ["A"] * n)
+        if ei.shape[1]:
+            assert mirror_pair_edge_index(ei) is not None

@@ -284,3 +284,67 @@ def test_mega_inner_non_pow2_factor_matches():
                                        rtol=1e-4, atol=1e-5)
     finally:
         pm.MEGA_INNER, pm.MEGA_TAIL_INNER = saved
+
+
+def _toy_paired(b=3, n=24, e=256, seed=11):
+    """Toy batch satisfying the v9 mirror-pair invariant:
+    edges[k + e/2] == reverse(edges[k]), padding mirrored (MEGA_PAIRED,
+    ops/pallas_mega.py). Arc indices are drawn src != dst (no self
+    loops, like real contact graphs)."""
+    rng = np.random.default_rng(seed)
+    half = e // 2
+    src0 = rng.integers(0, n, (b, half)).astype(np.int32)
+    dst0 = (src0 + rng.integers(1, n, (b, half)).astype(np.int32)) % n
+    esrc = jnp.asarray(np.concatenate([src0, dst0], axis=1))
+    edst = jnp.asarray(np.concatenate([dst0, src0], axis=1))
+    emask0 = rng.random((b, half)) > 0.25
+    emask = jnp.asarray(np.concatenate([emask0, emask0], axis=1))
+    # mirror arcs share the edge attribute (all-ones in the pipeline,
+    # structs.py GraphBatch doc) — mirrored here for exact parity
+    ef0 = rng.standard_normal((b, half, 1)).astype(np.float32)
+    efeat = jnp.asarray(np.concatenate([ef0, ef0], axis=1))
+    h = jnp.asarray(rng.standard_normal((b, n, 20)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((b, n, 3)).astype(np.float32))
+    params = eg.egnn_stack_init(jax.random.key(seed), 3, 20, 64)
+    return params, h, x, esrc, edst, efeat, emask
+
+
+def test_mega_paired_matches_production_and_onehot():
+    """v9 MEGA_PAIRED on a mirror-paired batch must match the production
+    mega kernel AND the XLA onehot path for loss and every gradient —
+    the residuals it writes feed the UNCHANGED hybrid backward."""
+    from immunostruct_tpu.ops import pallas_mega as pm
+    params, *args = _toy_paired()
+    saved = pm.MEGA_PAIRED
+    try:
+        pm.MEGA_PAIRED = False
+        l_prod, g_prod = jax.value_and_grad(_loss)(params, *args, "mega")
+        l_one, _ = jax.value_and_grad(_loss)(params, *args, "onehot")
+        pm.MEGA_PAIRED = True
+        l_pair, g_pair = jax.value_and_grad(_loss)(params, *args, "mega")
+    finally:
+        pm.MEGA_PAIRED = saved
+    np.testing.assert_allclose(float(l_pair), float(l_prod),
+                               rtol=5e-6, atol=1e-7)
+    np.testing.assert_allclose(float(l_pair), float(l_one),
+                               rtol=5e-4, atol=5e-5)
+    ref_scale = max(float(jnp.max(jnp.abs(g))) for g in jax.tree.leaves(g_prod))
+    for a, b in zip(jax.tree.leaves(g_prod), jax.tree.leaves(g_pair)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4 * ref_scale)
+
+
+def test_mega_paired_falls_back_on_unpairable_shapes():
+    """E/2 not a 128-multiple (the E=1408 class) or odd E: the paired
+    call must fall back to the production kernel, not crash."""
+    from immunostruct_tpu.ops import pallas_mega as pm
+    params, *args = _toy(b=2, e=384, seed=13)   # 384/2 = 192: no tile
+    saved = pm.MEGA_PAIRED
+    try:
+        pm.MEGA_PAIRED = False
+        l_prod = float(_loss(params, *args, "mega"))
+        pm.MEGA_PAIRED = True
+        l_fall = float(_loss(params, *args, "mega"))
+    finally:
+        pm.MEGA_PAIRED = saved
+    np.testing.assert_allclose(l_fall, l_prod, rtol=1e-6, atol=1e-8)
