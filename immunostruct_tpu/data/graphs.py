@@ -62,20 +62,46 @@ class GraphCorpus:
         return max(e.shape[1] for e in self.edge_index)
 
     def stack(self, max_nodes: Optional[int] = None, max_edges: Optional[int] = None,
-              nodes_multiple: int = 8, edges_multiple: int = 128):
+              nodes_multiple: int = 8, edges_multiple: int = 128,
+              paired: bool = False):
         """Dense padded arrays for the whole corpus.
 
         Returns dict of numpy arrays:
           node_onehot [M, N, 20] uint8, coords [M, N, 3] f32,
           edge_src/edge_dst [M, E] int32, edge_mask [M, E] bool,
           node_mask [M, N] bool, num_nodes [M] int32.
+
+        ``paired=True`` emits the v9 MIRROR-PAIRED layout required by
+        ops/pallas_mega.py MEGA_PAIRED: each graph's arcs are
+        canonicalized (structs.mirror_pair_edge_index), each HALF is
+        padded independently to a common 128-multiple, and slot k + E/2
+        holds the reverse of slot k (padding mirrored). Raises ValueError
+        naming the graph if any edge list cannot be paired — contact
+        graphs from the featurizer and the PyG conversion always can.
         """
         def _round_up(x, m):
             return ((x + m - 1) // m) * m
 
         m = len(self)
         n = _round_up(max_nodes or self.max_nodes, nodes_multiple)
-        e = _round_up(max(max_edges or self.max_edges, 1), edges_multiple)
+        if paired:
+            from immunostruct_tpu.structs import mirror_pair_edge_index
+            ordered = []
+            for i, ei in enumerate(self.edge_index):
+                oi = mirror_pair_edge_index(ei)
+                if oi is None:
+                    raise ValueError(
+                        f"graph {self.keys[i]}: edge list not mirror-"
+                        "pairable (self loop / unpaired arc / duplicate) "
+                        "— cannot use the paired edge layout")
+                ordered.append(oi)
+            want_half = max((max_edges or 0) + 1, 2) // 2 if max_edges else 1
+            half = _round_up(
+                max(want_half, max((ei.shape[1] // 2 for ei in ordered),
+                                   default=1), 1), edges_multiple)
+            e = 2 * half
+        else:
+            e = _round_up(max(max_edges or self.max_edges, 1), edges_multiple)
 
         out = {
             "node_onehot": np.zeros((m, n, 20), np.uint8),
@@ -87,15 +113,24 @@ class GraphCorpus:
             "num_nodes": np.zeros((m,), np.int32),
         }
         for i in range(m):
-            f, c, ei = self.node_onehot[i], self.coords[i], self.edge_index[i]
+            f, c = self.node_onehot[i], self.coords[i]
+            ei = ordered[i] if paired else self.edge_index[i]
             ni, ne = f.shape[0], ei.shape[1]
             if ni > n or ne > e:
                 raise ValueError(f"graph {self.keys[i]}: {ni} nodes/{ne} edges exceed pad {n}/{e}")
             out["node_onehot"][i, :ni] = f.astype(np.uint8)
             out["coords"][i, :ni] = c
-            out["edge_src"][i, :ne] = ei[0]
-            out["edge_dst"][i, :ne] = ei[1]
-            out["edge_mask"][i, :ne] = True
+            if paired:
+                u = ne // 2
+                half = e // 2
+                for lo, a, b in ((0, 0, 1), (half, 1, 0)):
+                    out["edge_src"][i, lo:lo + u] = ei[a, :u]
+                    out["edge_dst"][i, lo:lo + u] = ei[b, :u]
+                    out["edge_mask"][i, lo:lo + u] = True
+            else:
+                out["edge_src"][i, :ne] = ei[0]
+                out["edge_dst"][i, :ne] = ei[1]
+                out["edge_mask"][i, :ne] = True
             out["node_mask"][i, :ni] = True
             out["num_nodes"][i] = ni
         return out

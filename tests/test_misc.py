@@ -131,3 +131,42 @@ class TestMirrorPairEdgeIndex:
                          ["A"] * n)
         if ei.shape[1]:
             assert mirror_pair_edge_index(ei) is not None
+
+    def test_stack_paired_layout(self):
+        from immunostruct_tpu.data.graphs import GraphCorpus
+        rng = np.random.default_rng(5)
+        graphs = []
+        for g in range(3):
+            nn = 10 + g
+            s0 = np.array([0, 1, 2, 5]) % nn
+            d0 = np.array([3, 4, 6, 7]) % nn
+            ei = np.stack([np.concatenate([s0, d0]),
+                           np.concatenate([d0, s0])]).astype(np.int32)
+            ei = ei[:, rng.permutation(ei.shape[1])]
+            graphs.append((np.eye(20, dtype=np.float32)[rng.integers(0, 20, nn)],
+                           rng.standard_normal((nn, 3)).astype(np.float32), ei))
+        corpus = GraphCorpus(keys=[f"g{i}" for i in range(3)],
+                             node_onehot=[g[0] for g in graphs],
+                             coords=[g[1] for g in graphs],
+                             edge_index=[g[2] for g in graphs])
+        arr = corpus.stack(paired=True)
+        e = arr["edge_src"].shape[1]
+        assert e % 256 == 0
+        half = e // 2
+        for i in range(3):
+            mask = arr["edge_mask"][i]
+            # mirrored mask and indices
+            np.testing.assert_array_equal(mask[:half], mask[half:])
+            real = mask[:half]
+            np.testing.assert_array_equal(arr["edge_src"][i, half:][real],
+                                          arr["edge_dst"][i, :half][real])
+            np.testing.assert_array_equal(arr["edge_dst"][i, half:][real],
+                                          arr["edge_src"][i, :half][real])
+            # same undirected edge set as the unpaired stack
+            plain = corpus.stack()
+            pm_, pp = arr["edge_mask"][i], plain["edge_mask"][i]
+            paired_set = {(a, b) for a, b in zip(
+                arr["edge_src"][i][pm_], arr["edge_dst"][i][pm_])}
+            plain_set = {(a, b) for a, b in zip(
+                plain["edge_src"][i][pp], plain["edge_dst"][i][pp])}
+            assert paired_set == plain_set
